@@ -1,0 +1,173 @@
+"""Functional neural-net building blocks (NHWC, pure pytree params).
+
+Design notes (TPU-first):
+  - Everything is a pure function `f(params, x, ...) -> y`; params are nested
+    dicts whose keys mirror the diffusers module paths of the reference
+    checkpoints, so the checkpoint loader (`diffews_tpu.checkpoint`) is a
+    mechanical name/layout translation with no per-module tables.
+  - Activations are NHWC and convolution kernels HWIO — the layouts XLA:TPU
+    prefers; the reference's NCHW tensors are transposed once at the
+    pipeline boundary.
+  - Compute dtype is a parameter (bf16 on TPU); normalization statistics and
+    softmax run in fp32.
+
+Leaf conventions: conv/linear kernels under "kernel" (HWIO / (in, out)),
+biases under "bias", norm scales under "scale".
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = dict
+
+
+def linear(p: Params, x: jax.Array) -> jax.Array:
+    y = jnp.dot(x, p["kernel"].astype(x.dtype))
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def conv2d(p: Params, x: jax.Array, *, stride: int = 1, padding=1) -> jax.Array:
+    """3x3/1x1 convolution on NHWC input with HWIO kernel."""
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["kernel"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def group_norm(p: Params, x: jax.Array, *, groups: int, eps: float) -> jax.Array:
+    """GroupNorm over NHWC (or (..., C)) in fp32, matching torch semantics."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    c = xf.shape[-1]
+    spatial = xf.shape[1:-1]
+    b = xf.shape[0]
+    g = xf.reshape(b, -1, groups, c // groups)
+    mean = g.mean(axis=(1, 3), keepdims=True)
+    var = g.var(axis=(1, 3), keepdims=True)
+    g = (g - mean) * jax.lax.rsqrt(var + eps)
+    y = g.reshape(b, *spatial, c)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def layer_norm(p: Params, x: jax.Array, *, eps: float = 1e-5) -> jax.Array:
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return jax.nn.silu(x)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    """Exact (erf) GELU, matching torch nn.GELU default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def timestep_embedding(
+    timesteps: jax.Array,
+    dim: int,
+    *,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Sinusoidal timestep embedding, diffusers `get_timestep_embedding`.
+
+    timesteps: (B,) float/int array. Returns (B, dim).
+    """
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half:], emb[:, :half]], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb.astype(dtype)
+
+
+def time_embedding_mlp(p: Params, t_emb: jax.Array) -> jax.Array:
+    """TimestepEmbedding: linear -> silu -> linear (diffusers `linear_1/2`)."""
+    h = linear(p["linear_1"], t_emb)
+    h = silu(h)
+    return linear(p["linear_2"], h)
+
+
+def resnet_block(
+    p: Params,
+    x: jax.Array,
+    temb: Optional[jax.Array],
+    *,
+    groups: int,
+    eps: float,
+) -> jax.Array:
+    """diffusers ResnetBlock2D (default time-scale-shift, output factor 1)."""
+    h = group_norm(p["norm1"], x, groups=groups, eps=eps)
+    h = silu(h)
+    h = conv2d(p["conv1"], h)
+    if temb is not None and "time_emb_proj" in p:
+        t = linear(p["time_emb_proj"], silu(temb))
+        h = h + t[:, None, None, :]
+    h = group_norm(p["norm2"], h, groups=groups, eps=eps)
+    h = silu(h)
+    h = conv2d(p["conv2"], h)
+    if "conv_shortcut" in p:
+        x = conv2d(p["conv_shortcut"], x, padding=0)
+    return x + h
+
+
+def downsample2d(p: Params, x: jax.Array, *, asymmetric_pad: bool = False) -> jax.Array:
+    """Stride-2 conv downsample.
+
+    The UNet variant pads symmetrically (padding=1); the VAE encoder variant
+    uses padding=0 with an explicit (0,1),(0,1) pad (diffusers VAE
+    Downsample2D semantics).
+    """
+    if asymmetric_pad:
+        pad = ((0, 1), (0, 1))
+    else:
+        pad = ((1, 1), (1, 1))
+    return conv2d(p["conv"], x, stride=2, padding=pad)
+
+
+def upsample_nearest2x(x: jax.Array) -> jax.Array:
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def upsample2d(p: Params, x: jax.Array) -> jax.Array:
+    """Nearest 2x + 3x3 conv (diffusers Upsample2D with use_conv)."""
+    return conv2d(p["conv"], upsample_nearest2x(x))
+
+
+def geglu_ff(p: Params, x: jax.Array) -> jax.Array:
+    """diffusers FeedForward with GEGLU: net.0.proj -> chunk -> net.2."""
+    h = linear(p["net"]["0"]["proj"], x)
+    h, gate = jnp.split(h, 2, axis=-1)
+    h = h * gelu(gate)
+    return linear(p["net"]["2"], h)

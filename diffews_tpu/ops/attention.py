@@ -1,0 +1,130 @@
+"""Multi-head attention ops, including the KV-fusion (concat-KV) form.
+
+The reference implements KV-fusion by mutating per-layer `k_bank`/`v_bank`
+slots across two UNet dispatches and concatenating the banked support keys
+and values after the query's own K/V
+(`diffews/models/attention_processor.py:251-271`).  Here the same math is a
+pure function: the caller passes the support K/V alongside and the query
+tokens attend over `[own_kv ‖ folded_support_kv]`.  Softmax over keys is
+permutation-invariant, so the concat order itself does not affect results;
+it is kept "query first, supports after" to match the reference exactly
+(`attention_processor.py:258,267`).
+
+`kv_mask` supports padded n-shot batches: invalid support tokens get a -inf
+bias, which is numerically identical to physically dropping them — this is
+what lets variable 1..n-shot training jit once with static shapes
+(SURVEY.md §7 "Variable n-shot under jit").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+def dense_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    kv_bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Reference attention in plain XLA ops.
+
+    q: (B, Sq, H, D); k, v: (B, Skv, H, D); kv_bias: broadcastable to
+    (B, H, Sq, Skv).  Returns (B, Sq, H, D).  Softmax in fp32.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if kv_bias is not None:
+        logits = logits + kv_bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v)
+    return out
+
+
+def fused_kv_attention(
+    q: jax.Array,
+    k_own: jax.Array,
+    v_own: jax.Array,
+    k_sup: Optional[jax.Array],
+    v_sup: Optional[jax.Array],
+    *,
+    shot_mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    impl: str = "xla",
+) -> jax.Array:
+    """Attention over [own tokens ‖ support tokens].
+
+    Args:
+      q, k_own, v_own: (B, S, H, D) query-stream projections.
+      k_sup, v_sup: (B, N, S_ref, H, D) support-stream projections (one bank
+        entry per shot), or None for plain self-attention.
+      shot_mask: optional (B, N) bool; False marks padded shots whose tokens
+        must not be attended to.
+      impl: "xla" (dense) or "pallas" (flash kernel; see
+        `diffews_tpu.ops.flash_attention`).
+
+    Returns (B, S, H, D).
+    """
+    b, s, h, d = q.shape
+    if k_sup is None:
+        k, v = k_own, v_own
+        bias = None
+    else:
+        n, s_ref = k_sup.shape[1], k_sup.shape[2]
+        # Fold shots into the sequence dim: (B, N, S_ref, H, D) -> (B, N*S_ref, H, D).
+        # Matches the reference's batch->sequence fold of the bank
+        # (attention_processor.py:256-258,265-267).
+        k = jnp.concatenate([k_own, k_sup.reshape(b, n * s_ref, h, d)], axis=1)
+        v = jnp.concatenate([v_own, v_sup.reshape(b, n * s_ref, h, d)], axis=1)
+        if shot_mask is not None:
+            token_ok = jnp.repeat(shot_mask, s_ref, axis=1)  # (B, N*S_ref)
+            token_ok = jnp.concatenate(
+                [jnp.ones((b, s), dtype=bool), token_ok], axis=1
+            )  # own tokens always valid
+            bias = jnp.where(token_ok, 0.0, NEG_INF).astype(jnp.float32)
+            bias = bias[:, None, None, :]  # (B, 1, 1, Skv)
+        else:
+            bias = None
+
+    if impl == "xla":
+        return dense_attention(q, k, v, scale=scale, kv_bias=bias)
+    elif impl == "pallas":
+        from diffews_tpu.ops.flash_attention import flash_attention
+
+        kv_mask = None
+        if bias is not None:
+            kv_mask = bias[:, 0, 0, :] >= 0.0  # (B, Skv) bool
+        return flash_attention(q, k, v, scale=scale, kv_mask=kv_mask)
+    else:
+        raise ValueError(f"unknown attention impl {impl!r}")
+
+
+def cross_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Cross-attention (text conditioning); context lengths are tiny (2/77)."""
+    return dense_attention(q, k, v, scale=scale)
+
+
+def split_heads(x: jax.Array, heads: int) -> jax.Array:
+    b, s, c = x.shape
+    return x.reshape(b, s, heads, c // heads)
+
+
+def merge_heads(x: jax.Array) -> jax.Array:
+    b, s, h, d = x.shape
+    return x.reshape(b, s, h * d)
