@@ -1,0 +1,414 @@
+"""SD-2.1 conditional UNet with KV-fusion in-context conditioning (TPU-native).
+
+Re-design of the reference's `MyUNet2DConditionModel`
+(`diffews/models/unet_2d_condition.py:185-1257`) and its banked attention
+(`diffews/models/attention_processor.py:251-271`).  The reference runs TWO
+stateful UNet dispatches — a "reference" pass over the 8-channel
+support(+mask) latents that mutates per-layer `k_bank`/`v_bank`, then a
+"target" pass over the 4-channel query latent whose self-attentions
+concatenate the banked K/V.  Here both streams run in ONE functional forward:
+
+  - support rows (B*N) enter through `conv_in_ref`, query rows (B) through
+    `conv_in`, then the streams are CONCATENATED ALONG BATCH so every conv,
+    resnet, cross-attention and FFN processes them together (bigger batches
+    on the MXU, one dispatch, no Python-side mutation);
+  - at each self-attention the streams split: support rows self-attend,
+    query rows attend over `[own K/V ‖ shot-folded support K/V]` — the
+    exact math of `MyXFormersAttnProcessor` (`attention_processor.py:251-271`)
+    — via `diffews_tpu.ops.attention.fused_kv_attention` (XLA dense or
+    Pallas flash kernel);
+  - variable n-shot uses padding + `shot_mask` (-inf bias on padded shots),
+    so 1..max_shot training jits once with static shapes;
+  - gradients flow from the query loss into the support stream through the
+    fused K/V automatically — the reference's `ref_pred * 0.` DDP hack
+    (`train_tools/train_icl_*_v3.py:1381`) has no equivalent here.
+
+The support rows' final `conv_norm_out`/`conv_out` are skipped: the
+reference computes them but multiplies the result by zero (train) or drops
+it (eval), so this is pure dead compute.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from diffews_tpu.configs import UNetConfig
+from diffews_tpu.models import layers as L
+from diffews_tpu.ops.attention import (
+    cross_attention,
+    dense_attention,
+    fused_kv_attention,
+    merge_heads,
+    split_heads,
+)
+from diffews_tpu.utils import init as I
+
+ATTN_EPS = 1e-6  # Transformer2D GroupNorm epsilon
+
+
+# ---------------------------------------------------------------------------
+# attention / transformer blocks
+# ---------------------------------------------------------------------------
+
+
+def _attn1(p, h, *, heads, ref_rows, n_shots, shot_mask, attn_impl, mask_bias=None):
+    """Self-attention with KV fusion between the two streams.
+
+    h: (R+B, S, C) where the first R = B*n_shots rows are the support
+    stream.  With ref_rows=None this is plain self-attention.
+    """
+    q = split_heads(L.linear(p["to_q"], h), heads)
+    k = split_heads(L.linear(p["to_k"], h), heads)
+    v = split_heads(L.linear(p["to_v"], h), heads)
+
+    if ref_rows is None:
+        out = fused_kv_attention(q, k, v, None, None, impl=attn_impl)
+    else:
+        r = ref_rows
+        b = h.shape[0] - r
+        s = h.shape[1]
+        hd = q.shape[-1]
+        # Support rows: plain self-attention (the reference's ref pass also
+        # attends only over its own tokens while storing K/V).
+        out_ref = fused_kv_attention(q[:r], k[:r], v[:r], None, None, impl=attn_impl)
+        # Query rows: attend over [own ‖ folded support] K/V.
+        k_sup = k[:r].reshape(b, n_shots, s, heads, hd)
+        v_sup = v[:r].reshape(b, n_shots, s, heads, hd)
+        out_tag = fused_kv_attention(
+            q[r:], k[r:], v[r:], k_sup, v_sup,
+            shot_mask=shot_mask, impl=attn_impl,
+        )
+        out = jnp.concatenate([out_ref, out_tag], axis=0)
+
+    return L.linear(p["to_out"]["0"], merge_heads(out))
+
+
+def _attn2(p, h, ctx, *, heads):
+    """Cross-attention onto the (tiny) text-context sequence."""
+    q = split_heads(L.linear(p["to_q"], h), heads)
+    k = split_heads(L.linear(p["to_k"], ctx), heads)
+    v = split_heads(L.linear(p["to_v"], ctx), heads)
+    out = cross_attention(q, k, v)
+    return L.linear(p["to_out"]["0"], merge_heads(out))
+
+
+def _basic_transformer_block(p, h, ctx, *, heads, stream_info, attn_impl):
+    ref_rows, n_shots, shot_mask = stream_info
+    h = h + _attn1(
+        p["attn1"], L.layer_norm(p["norm1"], h),
+        heads=heads, ref_rows=ref_rows, n_shots=n_shots,
+        shot_mask=shot_mask, attn_impl=attn_impl,
+    )
+    h = h + _attn2(p["attn2"], L.layer_norm(p["norm2"], h), ctx, heads=heads)
+    h = h + L.geglu_ff(p["ff"], L.layer_norm(p["norm3"], h))
+    return h
+
+
+def _transformer2d(p, x, ctx, *, heads, cfg: UNetConfig, stream_info, attn_impl):
+    b, hh, ww, c = x.shape
+    residual = x
+    h = L.group_norm(p["norm"], x, groups=cfg.norm_num_groups, eps=ATTN_EPS)
+    h = h.reshape(b, hh * ww, c)
+    if cfg.use_linear_projection:
+        h = L.linear(p["proj_in"], h)
+    else:
+        h = L.conv2d(p["proj_in"], h.reshape(b, hh, ww, c), padding=0).reshape(b, hh * ww, c)
+    for i in range(cfg.transformer_layers_per_block):
+        h = _basic_transformer_block(
+            p["transformer_blocks"][str(i)], h, ctx,
+            heads=heads, stream_info=stream_info, attn_impl=attn_impl,
+        )
+    if cfg.use_linear_projection:
+        h = L.linear(p["proj_out"], h)
+        h = h.reshape(b, hh, ww, c)
+    else:
+        h = L.conv2d(p["proj_out"], h.reshape(b, hh, ww, c), padding=0)
+    return h + residual
+
+
+# ---------------------------------------------------------------------------
+# UNet forward
+# ---------------------------------------------------------------------------
+
+
+def forward(
+    params,
+    cfg: UNetConfig,
+    sample: jax.Array,
+    timestep,
+    context: jax.Array,
+    *,
+    ref_sample: Optional[jax.Array] = None,
+    ref_context: Optional[jax.Array] = None,
+    shot_mask: Optional[jax.Array] = None,
+    attn_impl: str = "xla",
+    remat: bool = False,
+) -> jax.Array:
+    """Joint support+query UNet forward.
+
+    Args:
+      sample: (B, H, W, in_channels) query latents.
+      timestep: scalar (or (B,)) diffusion timestep.
+      context: (B, L, cross_dim) text conditioning for the query rows.
+      ref_sample: optional (B, N, H, W, ref_in_channels) support latents
+        (support RGB latent ‖ support mask latent on channels).
+      ref_context: (B, N, L, cross_dim) or None (defaults to `context`
+        broadcast over shots — the reference repeats the same empty-prompt
+        embedding, `marigold_pipeline_rgb_latent_noise.py:694-696`).
+      shot_mask: optional (B, N) bool validity mask for padded shots.
+      attn_impl: "xla" | "pallas" for the fused self-attention.
+      remat: checkpoint each block (training memory saver).
+
+    Returns: (B, H, W, out_channels) prediction for the query rows.
+    """
+    b = sample.shape[0]
+    if ref_sample is not None:
+        n_shots = ref_sample.shape[1]
+        ref_rows = b * n_shots
+        ref_flat = ref_sample.reshape((ref_rows,) + ref_sample.shape[2:])
+    else:
+        n_shots, ref_rows, ref_flat = 0, None, None
+
+    # --- time embedding (shared across both streams) ---
+    ts = jnp.asarray(timestep, dtype=jnp.float32).reshape(-1)
+    t_emb = L.timestep_embedding(
+        ts, cfg.block_out_channels[0],
+        flip_sin_to_cos=cfg.flip_sin_to_cos,
+        downscale_freq_shift=cfg.freq_shift,
+        dtype=sample.dtype,
+    )
+    emb1 = L.time_embedding_mlp(params["time_embedding"], t_emb)  # (1|B, D)
+    total_rows = b + (ref_rows or 0)
+    if emb1.shape[0] == 1:
+        emb = jnp.broadcast_to(emb1, (total_rows, emb1.shape[1]))
+    else:
+        reps = [jnp.repeat(emb1, n_shots, axis=0)] if ref_rows else []
+        emb = jnp.concatenate(reps + [emb1], axis=0)
+
+    # --- context for the combined batch ---
+    if ref_rows:
+        if ref_context is None:
+            ctx_ref = jnp.repeat(context, n_shots, axis=0)
+        else:
+            ctx_ref = ref_context.reshape((ref_rows,) + ref_context.shape[2:])
+        ctx = jnp.concatenate([ctx_ref, context], axis=0)
+    else:
+        ctx = context
+
+    # --- input convs: per-stream, then concat along batch ---
+    h_tag = L.conv2d(params["conv_in"], sample)
+    if ref_rows:
+        h_ref = L.conv2d(params["conv_in_ref"], ref_flat)
+        h = jnp.concatenate([h_ref, h_tag], axis=0)
+    else:
+        h = h_tag
+
+    stream_info = (ref_rows, n_shots, shot_mask)
+    g, eps = cfg.norm_num_groups, cfg.norm_eps
+    n_levels = cfg.num_levels
+
+    def maybe_ckpt(fn):
+        return jax.checkpoint(fn) if remat else fn
+
+    resnet = partial(L.resnet_block, groups=g, eps=eps)
+
+    # --- down path ---
+    down_states = [h]
+    for i in range(n_levels):
+        blk = params["down_blocks"][str(i)]
+        with_attn = cfg.down_block_types[i] == "CrossAttnDownBlock2D"
+        heads = cfg.num_attention_heads[i]
+        for j in range(cfg.layers_per_block):
+
+            def down_layer(h, emb, ctx, blk=blk, j=j, with_attn=with_attn, heads=heads):
+                h = resnet(blk["resnets"][str(j)], h, emb)
+                if with_attn:
+                    h = _transformer2d(
+                        blk["attentions"][str(j)], h, ctx,
+                        heads=heads, cfg=cfg, stream_info=stream_info,
+                        attn_impl=attn_impl,
+                    )
+                return h
+
+            h = maybe_ckpt(down_layer)(h, emb, ctx)
+            down_states.append(h)
+        if i < n_levels - 1:
+            h = L.downsample2d(blk["downsamplers"]["0"], h)
+            down_states.append(h)
+
+    # --- mid ---
+    def mid(h, emb, ctx):
+        p = params["mid_block"]
+        h = resnet(p["resnets"]["0"], h, emb)
+        h = _transformer2d(
+            p["attentions"]["0"], h, ctx,
+            heads=cfg.num_attention_heads[-1], cfg=cfg,
+            stream_info=stream_info, attn_impl=attn_impl,
+        )
+        h = resnet(p["resnets"]["1"], h, emb)
+        return h
+
+    h = maybe_ckpt(mid)(h, emb, ctx)
+
+    # --- up path ---
+    for i in range(n_levels):
+        blk = params["up_blocks"][str(i)]
+        with_attn = cfg.up_block_types[i] == "CrossAttnUpBlock2D"
+        heads = cfg.num_attention_heads[n_levels - 1 - i]
+        for j in range(cfg.layers_per_block + 1):
+            skip = down_states.pop()
+
+            def up_layer(h, skip, emb, ctx, blk=blk, j=j, with_attn=with_attn, heads=heads):
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = resnet(blk["resnets"][str(j)], h, emb)
+                if with_attn:
+                    h = _transformer2d(
+                        blk["attentions"][str(j)], h, ctx,
+                        heads=heads, cfg=cfg, stream_info=stream_info,
+                        attn_impl=attn_impl,
+                    )
+                return h
+
+            h = maybe_ckpt(up_layer)(h, skip, emb, ctx)
+        if i < n_levels - 1:
+            h = L.upsample2d(blk["upsamplers"]["0"], h)
+
+    # --- output head: query rows only (support head is dead compute) ---
+    if ref_rows:
+        h = h[ref_rows:]
+    h = L.group_norm(params["conv_norm_out"], h, groups=g, eps=eps)
+    h = L.silu(h)
+    return L.conv2d(params["conv_out"], h)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _resnet_params(r: I.RngStream, cin: int, cout: int, temb_dim: int) -> dict:
+    p = {
+        "norm1": I.norm_params(cin),
+        "conv1": I.conv_params(r(), 3, 3, cin, cout),
+        "time_emb_proj": I.linear_params(r(), temb_dim, cout),
+        "norm2": I.norm_params(cout),
+        "conv2": I.conv_params(r(), 3, 3, cout, cout),
+    }
+    if cin != cout:
+        p["conv_shortcut"] = I.conv_params(r(), 1, 1, cin, cout)
+    return p
+
+
+def _attn_params(r: I.RngStream, q_dim: int, kv_dim: int) -> dict:
+    return {
+        "to_q": I.linear_params(r(), q_dim, q_dim, bias=False),
+        "to_k": I.linear_params(r(), kv_dim, q_dim, bias=False),
+        "to_v": I.linear_params(r(), kv_dim, q_dim, bias=False),
+        "to_out": {"0": I.linear_params(r(), q_dim, q_dim)},
+    }
+
+
+def _transformer_params(r: I.RngStream, c: int, cfg: UNetConfig) -> dict:
+    blocks = {}
+    for i in range(cfg.transformer_layers_per_block):
+        blocks[str(i)] = {
+            "norm1": I.norm_params(c),
+            "attn1": _attn_params(r, c, c),
+            "norm2": I.norm_params(c),
+            "attn2": _attn_params(r, c, cfg.cross_attention_dim),
+            "norm3": I.norm_params(c),
+            "ff": {
+                "net": {
+                    "0": {"proj": I.linear_params(r(), c, c * 8)},
+                    "2": I.linear_params(r(), c * 4, c),
+                }
+            },
+        }
+    if cfg.use_linear_projection:
+        proj_in = I.linear_params(r(), c, c)
+        proj_out = I.linear_params(r(), c, c)
+    else:
+        proj_in = I.conv_params(r(), 1, 1, c, c)
+        proj_out = I.conv_params(r(), 1, 1, c, c)
+    return {
+        "norm": I.norm_params(c),
+        "proj_in": proj_in,
+        "transformer_blocks": blocks,
+        "proj_out": proj_out,
+    }
+
+
+def init_params(rng, cfg: UNetConfig) -> dict:
+    r = I.RngStream(rng)
+    chans = cfg.block_out_channels
+    n = cfg.num_levels
+    temb_dim = cfg.time_embed_dim
+
+    params = {
+        "conv_in": I.conv_params(r(), cfg.conv_in_kernel, cfg.conv_in_kernel,
+                                 cfg.in_channels, chans[0]),
+        "conv_in_ref": I.conv_params(r(), cfg.conv_in_kernel, cfg.conv_in_kernel,
+                                     cfg.ref_in_channels, chans[0]),
+        "time_embedding": {
+            "linear_1": I.linear_params(r(), chans[0], temb_dim),
+            "linear_2": I.linear_params(r(), temb_dim, temb_dim),
+        },
+    }
+
+    down = {}
+    cin = chans[0]
+    down_out_channels = [chans[0]]  # skip channel bookkeeping, mirrors forward
+    for i in range(n):
+        cout = chans[i]
+        blk = {"resnets": {}, "attentions": {}}
+        for j in range(cfg.layers_per_block):
+            blk["resnets"][str(j)] = _resnet_params(r, cin if j == 0 else cout, cout, temb_dim)
+            if cfg.down_block_types[i] == "CrossAttnDownBlock2D":
+                blk["attentions"][str(j)] = _transformer_params(r, cout, cfg)
+            down_out_channels.append(cout)
+        if not blk["attentions"]:
+            del blk["attentions"]
+        if i < n - 1:
+            blk["downsamplers"] = {"0": {"conv": I.conv_params(r(), 3, 3, cout, cout)}}
+            down_out_channels.append(cout)
+        down[str(i)] = blk
+        cin = cout
+    params["down_blocks"] = down
+
+    params["mid_block"] = {
+        "resnets": {
+            "0": _resnet_params(r, chans[-1], chans[-1], temb_dim),
+            "1": _resnet_params(r, chans[-1], chans[-1], temb_dim),
+        },
+        "attentions": {"0": _transformer_params(r, chans[-1], cfg)},
+    }
+
+    up = {}
+    rev = list(reversed(chans))
+    cin = rev[0]
+    for i in range(n):
+        cout = rev[i]
+        blk = {"resnets": {}, "attentions": {}}
+        for j in range(cfg.layers_per_block + 1):
+            skip_ch = down_out_channels.pop()
+            blk["resnets"][str(j)] = _resnet_params(
+                r, (cin if j == 0 else cout) + skip_ch, cout, temb_dim
+            )
+            if cfg.up_block_types[i] == "CrossAttnUpBlock2D":
+                blk["attentions"][str(j)] = _transformer_params(r, cout, cfg)
+        if not blk["attentions"]:
+            del blk["attentions"]
+        if i < n - 1:
+            blk["upsamplers"] = {"0": {"conv": I.conv_params(r(), 3, 3, cout, cout)}}
+        up[str(i)] = blk
+        cin = cout
+    params["up_blocks"] = up
+
+    params["conv_norm_out"] = I.norm_params(chans[0])
+    params["conv_out"] = I.conv_params(r(), cfg.conv_out_kernel, cfg.conv_out_kernel,
+                                       chans[0], cfg.out_channels)
+    return params
