@@ -1,0 +1,52 @@
+"""Benchmark registry / loader factory.
+
+Counterpart of `FSSDataset` (`evaluation_util/data/dataset.py:15-49`):
+7 episodic benchmarks behind one `initialize` + `build_dataloader` API with
+the shared 512px transform; shuffle only for 'trn', no workers for eval
+(seeded-episode reproducibility).
+"""
+
+from __future__ import annotations
+
+from diffews_tpu.data.coco import DatasetCOCO
+from diffews_tpu.data.fss import DatasetFSS
+from diffews_tpu.data.loader import EpisodeLoader
+from diffews_tpu.data.lvis import DatasetLVIS
+from diffews_tpu.data.paco_part import DatasetPACOPart
+from diffews_tpu.data.pascal import DatasetPASCAL, DatasetPASCALCD
+from diffews_tpu.data.pascal_part import DatasetPASCALPart
+from diffews_tpu.data.transforms import ImageTransform
+
+
+class FSSDataset:
+    datasets = {
+        "coco": DatasetCOCO,
+        "pascal": DatasetPASCAL,
+        "fss": DatasetFSS,
+        "paco_part": DatasetPACOPart,
+        "pascal_part": DatasetPASCALPart,
+        "lvis": DatasetLVIS,
+        "pascal_cd": DatasetPASCALCD,
+    }
+
+    @classmethod
+    def initialize(cls, img_size: int, datapath: str, use_original_imgsize: bool = False):
+        cls.img_size = img_size
+        cls.datapath = datapath
+        cls.use_original_imgsize = use_original_imgsize
+        cls.transform = ImageTransform(img_size)
+
+    @classmethod
+    def build_dataset(cls, benchmark: str, fold: int, split: str, shot: int = 1):
+        return cls.datasets[benchmark](
+            cls.datapath, fold=fold, transform=cls.transform, split=split,
+            shot=shot, use_original_imgsize=cls.use_original_imgsize,
+        )
+
+    @classmethod
+    def build_dataloader(cls, benchmark: str, bsz: int, nworker: int, fold: int,
+                         split: str, shot: int = 1) -> EpisodeLoader:
+        shuffle = split == "trn"
+        nworker = nworker if split == "trn" else 0
+        dataset = cls.build_dataset(benchmark, fold, split, shot)
+        return EpisodeLoader(dataset, batch_size=bsz, shuffle=shuffle, num_workers=nworker)

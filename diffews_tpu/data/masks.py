@@ -1,0 +1,143 @@
+"""Native mask codecs: COCO RLE and polygon rasterization.
+
+Replaces the external native dependencies the reference leans on for
+LVIS/PACO/Pascal-Part (`pycocotools.mask.decode`,
+detectron2 `polygons_to_bitmask` — `evaluation_util/data/lvis.py:97-116`,
+`paco_part.py:105-124`, `pascal_part.py:125-128`) with pure
+NumPy/PIL implementations:
+
+  - `rle_decode` handles both compressed (char-codec) and uncompressed
+    COCO RLEs, column-major run order;
+  - `rle_encode` produces the compressed form (round-trip tested);
+  - `polygons_to_bitmask` rasterizes COCO polygon lists (boundary-inclusive
+    fill, matching pycocotools' convention of including outline pixels).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Union
+
+import numpy as np
+from PIL import Image, ImageDraw
+
+
+# ---------------------------------------------------------------------------
+# COCO compressed RLE char codec
+# ---------------------------------------------------------------------------
+
+
+def _decode_counts(s: Union[bytes, str]) -> List[int]:
+    """Decode the COCO compressed-RLE count string (5-bit varint, delta>2)."""
+    if isinstance(s, str):
+        s = s.encode("ascii")
+    counts: List[int] = []
+    i = 0
+    while i < len(s):
+        x, k, more = 0, 0, True
+        while more:
+            c = s[i] - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            i += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * (k + 1))
+            k += 1
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    return counts
+
+
+def _encode_counts(counts: Sequence[int]) -> bytes:
+    out = bytearray()
+    for i, cnt in enumerate(counts):
+        x = int(cnt)
+        if i > 2:
+            x -= int(counts[i - 2])
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5
+            more = (x != -1) if (c & 0x10) else (x != 0)
+            if more:
+                c |= 0x20
+            out.append(c + 48)
+    return bytes(out)
+
+
+def rle_decode(rle: Dict) -> np.ndarray:
+    """COCO RLE dict {'size': [h, w], 'counts': bytes|str|list} -> (h, w) uint8.
+
+    Runs alternate background/foreground in column-major (Fortran) order,
+    matching `pycocotools.mask.decode`.
+    """
+    h, w = rle["size"]
+    counts = rle["counts"]
+    if isinstance(counts, (bytes, str)):
+        counts = _decode_counts(counts)
+    counts = np.asarray(counts, dtype=np.int64)
+    vals = np.zeros(len(counts), dtype=np.uint8)
+    vals[1::2] = 1
+    flat = np.repeat(vals, counts)
+    if flat.size < h * w:
+        flat = np.pad(flat, (0, h * w - flat.size))
+    return flat[: h * w].reshape(w, h).T
+
+
+def rle_encode(mask: np.ndarray) -> Dict:
+    """(h, w) binary mask -> compressed COCO RLE dict."""
+    h, w = mask.shape
+    flat = np.asarray(mask, dtype=np.uint8).T.reshape(-1)
+    # run-length encode with leading zero-run
+    change = np.nonzero(np.diff(flat))[0] + 1
+    bounds = np.concatenate([[0], change, [flat.size]])
+    counts = np.diff(bounds).tolist()
+    if flat.size and flat[0] == 1:
+        counts = [0] + counts
+    return {"size": [h, w], "counts": _encode_counts(counts)}
+
+
+# ---------------------------------------------------------------------------
+# polygons
+# ---------------------------------------------------------------------------
+
+
+def polygons_to_bitmask(polygons: Sequence[np.ndarray], height: int, width: int) -> np.ndarray:
+    """Rasterize COCO polygon list ([x0,y0,x1,y1,...] flat arrays) to a mask.
+
+    Union of filled polygons with boundary pixels included (pycocotools'
+    rasterization includes the outline).
+    """
+    if len(polygons) == 0:
+        return np.zeros((height, width), dtype=bool)
+    img = Image.new("1", (width, height), 0)
+    draw = ImageDraw.Draw(img)
+    for p in polygons:
+        pts = np.asarray(p, dtype=np.float64).reshape(-1, 2)
+        if len(pts) < 3:
+            continue
+        draw.polygon([(float(x), float(y)) for x, y in pts], outline=1, fill=1)
+    return np.asarray(img, dtype=bool)
+
+
+def segmentation_to_mask(segm, height: int, width: int) -> np.ndarray:
+    """Polymorphic segmentation -> bool mask (list=polygons, dict=RLE, ndarray=mask),
+    mirroring the reference's `get_mask` dispatch (`lvis.py:97-116`)."""
+    if isinstance(segm, list):
+        return polygons_to_bitmask([np.asarray(p) for p in segm], height, width)
+    if isinstance(segm, dict):
+        return rle_decode(segm).astype(bool)
+    if isinstance(segm, np.ndarray):
+        assert segm.ndim == 2
+        return segm.astype(bool)
+    raise NotImplementedError(type(segm))
+
+
+def merge_rles_decode(rles: Sequence[Dict]) -> np.ndarray:
+    """Decode a list of RLEs and union them (pycocotools decode of a list
+    stacks along the last axis; callers then `.sum(-1) > 0`)."""
+    out = None
+    for r in rles:
+        m = rle_decode(r).astype(bool)
+        out = m if out is None else (out | m)
+    return out if out is not None else np.zeros((0, 0), bool)

@@ -1,0 +1,266 @@
+"""One-step few-shot segmentation inference pipeline (TPU-native).
+
+Re-design of `MarigoldPipelineRGBLatentNoise`
+(`diffews/marigold_pipeline_rgb_latent_noise.py:99-944`).  The reference
+orchestrates, per episode: 3 separate VAE encodes, a CLIP empty-prompt
+encode, per-step double UNet dispatch with bank clears, a scheduler step,
+VAE decode and a host-side PIL postprocess.  Here the entire episode
+compiles to ONE XLA program:
+
+  - query, supports and support-masks are VAE-encoded in a single batched
+    call (B*(1+2N) images) instead of three;
+  - the UNet runs the joint support+query forward (`diffews_tpu.models.unet`);
+  - the degenerate scheduler folds to `x0 = -v` at compile time;
+  - decode + clip + [0,255] quantization stay on device; the uint8
+    round-trip and relative threshold reproduce the reference's PIL path
+    bit-exactly (`main_oss.py:128-137`, pipeline `:784-802,532-545`).
+
+The reference's per-query CLIP image preprocessing (pipeline `:313-325`) is
+dead compute for segmentation and is dropped.  `ensemble_size` is accepted
+for CLI parity: seg inference is deterministic (no noise enters the graph),
+so the ensemble mean of identical predictions equals a single prediction
+(`:468`); we compute once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffews_tpu import checkpoint as ckpt_lib
+from diffews_tpu.configs import SchedulerConfig, UNetConfig, VAEConfig
+from diffews_tpu.models import clip_text, unet, vae
+from diffews_tpu.ops.resize import nearest_resize
+from diffews_tpu.scheduler import DDIMScheduler
+
+
+@dataclasses.dataclass
+class SegOutput:
+    """Counterpart of `MarigoldSegOutput` (pipeline `:66-80`)."""
+
+    seg_colored: np.ndarray  # (B, H, W, 3) uint8
+    mask: Optional[np.ndarray] = None  # (B, H, W) bool, if thresholding requested
+    uncertainty: Optional[np.ndarray] = None
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(lambda x: x.astype(dtype), tree)
+
+
+class DiffewsPipeline:
+    """Few-shot segmentation predictor.
+
+    Args:
+      bundle: `checkpoint.PipelineBundle` with params/configs.
+      compute_dtype: jnp.float32 (parity) or jnp.bfloat16 (TPU speed).
+      attn_impl: "xla" or "pallas" fused self-attention.
+      test_timestep: timestep multiplier (`main_oss.py --test_timestep`).
+    """
+
+    def __init__(
+        self,
+        bundle: ckpt_lib.PipelineBundle,
+        *,
+        compute_dtype=jnp.float32,
+        attn_impl: str = "xla",
+        test_timestep: int = 1,
+    ):
+        self.unet_cfg: UNetConfig = bundle.unet_cfg
+        self.vae_cfg: VAEConfig = bundle.vae_cfg
+        self.scheduler = DDIMScheduler(bundle.scheduler_cfg)
+        self.compute_dtype = compute_dtype
+        self.attn_impl = attn_impl
+        self.test_timestep = test_timestep
+
+        self.unet_params = _cast_tree(bundle.unet_params, compute_dtype)
+        self.vae_params = _cast_tree(bundle.vae_params, compute_dtype)
+
+        # Empty-prompt embedding: computed once, like the reference caches
+        # `empty_text_embed` (pipeline `:585-614`).  Eval protocol uses the
+        # unpadded [bos, eos] ids (seq len 2).
+        if bundle.text_params is not None:
+            ids = clip_text.empty_prompt_ids(bundle.text_cfg)
+            emb = clip_text.forward(bundle.text_params, bundle.text_cfg, ids)
+            self.empty_text_embed = jnp.asarray(emb, dtype=compute_dtype)
+        else:
+            self.empty_text_embed = jnp.zeros(
+                (1, 2, self.unet_cfg.cross_attention_dim), dtype=compute_dtype
+            )
+
+        self._predict_jit = jax.jit(
+            self._predict_impl, static_argnames=("denoising_steps",)
+        )
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        checkpoint: str,
+        unet_dir: Optional[str] = None,
+        scheduler_dir: Optional[str] = None,
+        **kw,
+    ) -> "DiffewsPipeline":
+        bundle = ckpt_lib.load_pipeline_bundle(checkpoint, unet_dir, scheduler_dir)
+        return cls(bundle, **kw)
+
+    # -- core jitted graph --------------------------------------------------
+
+    def _predict_impl(
+        self,
+        unet_params,
+        vae_params,
+        query: jax.Array,       # (B, H, W, 3) in [-1, 1]
+        supports: jax.Array,    # (B, N, H, W, 3) in [-1, 1]
+        masks: jax.Array,       # (B, N, H, W, 3) in [-1, 1]
+        text_embed: jax.Array,  # (1, L, D)
+        shot_mask: Optional[jax.Array],
+        denoising_steps: int,
+    ) -> jax.Array:
+        b, n = supports.shape[0], supports.shape[1]
+        hw = supports.shape[2:4]
+        dt = self.compute_dtype
+
+        # ---- single batched VAE encode for all three streams ----
+        all_imgs = jnp.concatenate(
+            [
+                query.astype(dt),
+                supports.reshape((b * n,) + supports.shape[2:]).astype(dt),
+                masks.reshape((b * n,) + masks.shape[2:]).astype(dt),
+            ],
+            axis=0,
+        )
+        lat = vae.encode_mean_latent(vae_params, self.vae_cfg, all_imgs)
+        lh, lw = lat.shape[1:3]
+        q_lat = lat[:b]
+        s_lat = lat[b : b + b * n].reshape(b, n, lh, lw, -1)
+        m_lat = lat[b + b * n :].reshape(b, n, lh, lw, -1)
+        ref = jnp.concatenate([s_lat, m_lat], axis=-1)  # (B, N, h, w, 8)
+
+        ctx = jnp.broadcast_to(text_embed, (b,) + text_embed.shape[1:]).astype(dt)
+
+        # ---- denoising loop (static, unrolled; 1 step on the DiffewS path) ----
+        self.scheduler.set_timesteps(denoising_steps)
+        latent = q_lat
+        x0 = latent
+        for t in self.scheduler.timesteps:
+            v = unet.forward(
+                unet_params, self.unet_cfg, latent,
+                int(t) * self.test_timestep, ctx,
+                ref_sample=ref, shot_mask=shot_mask,
+                attn_impl=self.attn_impl,
+            )
+            latent, x0 = self.scheduler.step(v, int(t), latent)
+
+        # ---- decode + seg postprocess (pipeline `:784-802,887-905`) ----
+        img = vae.decode(vae_params, self.vae_cfg, x0)
+        img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
+        img = (img * 0.5 + 0.5) * 255.0
+        img = jnp.clip(img, 0.0, 255.0).astype(jnp.uint8)
+        return img
+
+    # -- public API ---------------------------------------------------------
+
+    def predict(
+        self,
+        query,
+        supports,
+        support_masks,
+        *,
+        shot_mask=None,
+        denoising_steps: int = 1,
+        out_size: Optional[Tuple[int, int]] = None,
+        r_threshold: float = 0.0,
+        threshold: float = 0.0,
+    ) -> SegOutput:
+        """Predict segmentation for a batch of episodes.
+
+        Args (NHWC; NCHW inputs are auto-transposed):
+          query: (B, H, W, 3) in [-1, 1].
+          supports/support_masks: (B, N, H, W, 3) in [-1, 1].
+          out_size: target (H, W) of the prediction (the reference
+            nearest-resizes to the query input size, pipeline `:473-474`).
+          r_threshold: relative threshold — mask = mean_RGB > r * max
+            (`main_oss.py:131-137`).
+          threshold: absolute threshold on mean_RGB in [0,1].
+        """
+        query = _to_nhwc(np.asarray(query), 4)
+        supports = _to_nhwc(np.asarray(supports), 5)
+        support_masks = _to_nhwc(np.asarray(support_masks), 5)
+
+        img = self._predict_jit(
+            self.unet_params,
+            self.vae_params,
+            jnp.asarray(query),
+            jnp.asarray(supports),
+            jnp.asarray(support_masks),
+            self.empty_text_embed,
+            None if shot_mask is None else jnp.asarray(shot_mask),
+            denoising_steps,
+        )
+
+        if out_size is not None and tuple(img.shape[1:3]) != tuple(out_size):
+            img = nearest_resize(img, tuple(out_size))
+
+        seg = np.asarray(img)
+        mask = None
+        if r_threshold > 0 or threshold > 0:
+            # PIL round-trip: to_tensor divides the uint8 image by 255
+            # (main_oss.py:128-130).
+            p = seg.astype(np.float32) / 255.0
+            if r_threshold > 0:
+                # reference uses a global max over the (bsz=1) tensor
+                # (`main_oss.py:131-134`); per-episode max generalizes to B>1
+                thr = p.reshape(p.shape[0], -1).max(axis=1) * r_threshold
+                mask = p.mean(axis=-1) > thr[:, None, None]
+            else:
+                mask = p.mean(axis=-1) > threshold
+        return SegOutput(seg_colored=seg, mask=mask)
+
+    def __call__(
+        self,
+        input_images,
+        denoising_steps: int = 1,
+        ensemble_size: int = 1,
+        processing_res: int = 512,
+        match_input_res: bool = True,
+        batch_size: int = 0,
+        show_progress_bar: bool = False,
+        mode: str = "seg",
+        rgb_paths=(),
+        seed=None,
+    ) -> SegOutput:
+        """Reference-pipeline-compatible entry.
+
+        `input_images` = [support_imgs (B*N,3,H,W), query_img (B,3,H,W),
+        support_masks (B*N,3,H,W)] in [-1,1], the exact contract of the
+        reference eval harness (`main_oss.py:106-123`).  Only mode='seg'
+        ('semseg') is supported — the reference's depth/sr/normal modes sit
+        on the vestigial Marigold path (SURVEY.md §2.2).
+        """
+        if mode not in ("seg", "semseg"):
+            raise NotImplementedError(
+                "DiffewS path is segmentation-only; depth/sr/normal belong to "
+                "the vestigial Marigold pipeline"
+            )
+        sup, qry, msk = (np.asarray(x) for x in input_images)
+        b = qry.shape[0]
+        n = sup.shape[0] // b
+        sup = sup.reshape((b, n) + sup.shape[1:])
+        msk = msk.reshape((b, n) + msk.shape[1:])
+        out_size = tuple(qry.shape[-2:]) if match_input_res else None
+        return self.predict(
+            qry, sup, msk, denoising_steps=denoising_steps, out_size=out_size
+        )
+
+
+def _to_nhwc(x: np.ndarray, ndim: int) -> np.ndarray:
+    """Accept NCHW (reference convention) or NHWC; return NHWC."""
+    if x.ndim != ndim:
+        raise ValueError(f"expected {ndim}-D array, got {x.shape}")
+    if x.shape[-3] == 3 and x.shape[-1] != 3:
+        return np.moveaxis(x, -3, -1)
+    return x

@@ -1,0 +1,133 @@
+"""Synthetic benchmark-layout generators for tests and CLI verification.
+
+Writes miniature directory trees matching the on-disk layouts the reference
+datasets consume (COCO2014 splits/annotations, VOC2012, FSS-1000, LVIS/PACO
+pickles), with tiny random images, so the episodic samplers and harnesses
+run end-to-end without the real corpora.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+
+import numpy as np
+from PIL import Image
+
+
+def _save_rgb(path, rng, size=(40, 30)):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    arr = rng.integers(0, 255, size=(size[1], size[0], 3), dtype=np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def make_coco(root: str, n_classes: int = 80, imgs_per_class: int = 3, seed: int = 0):
+    """COCO2014 tree: train2014/val2014 jpgs + annotations pngs + fold pkls."""
+    rng = np.random.default_rng(seed)
+    base = os.path.join(root, "COCO2014")
+    for split, prefix in (("trn", "train2014"), ("val", "val2014")):
+        for fold in range(4):
+            nclass_val = 80 // 4
+            val_ids = [fold + 4 * v for v in range(nclass_val)]
+            ids = [c for c in range(80) if c not in val_ids] if split == "trn" else val_ids
+            ids = [c for c in ids if c < n_classes]
+            meta = {}
+            for c in ids:
+                names = []
+                for i in range(imgs_per_class):
+                    name = f"{prefix}/COCO_{prefix}_{c:03d}_{i:04d}.jpg"
+                    img_path = os.path.join(base, name)
+                    if not os.path.exists(img_path):
+                        _save_rgb(img_path, rng)
+                        ann = np.zeros((30, 40), np.uint8)
+                        ann[5 + c % 10 : 20, 8 : 30] = min(c + 1, 255)  # class pixels = id+1
+                        ann_path = os.path.join(
+                            base, "annotations", name.replace(".jpg", ".png")
+                        )
+                        os.makedirs(os.path.dirname(ann_path), exist_ok=True)
+                        Image.fromarray(ann).save(ann_path)
+                    names.append(name)
+                meta[c] = names
+            pkl_dir = os.path.join(base, "splits", split)
+            os.makedirs(pkl_dir, exist_ok=True)
+            with open(os.path.join(pkl_dir, f"fold{fold}.pkl"), "wb") as f:
+                pickle.dump(meta, f)
+    return root
+
+
+def make_pascal(root: str, imgs_per_class: int = 3, seed: int = 0):
+    """VOC2012 tree: JPEGImages, SegmentationClassAug, splits txts."""
+    rng = np.random.default_rng(seed)
+    base = os.path.join(root, "VOC2012")
+    for split in ("trn", "val"):
+        for fold in range(4):
+            lines = []
+            for i in range(5):  # 5 classes per fold
+                c = fold * 5 + i
+                for j in range(imgs_per_class):
+                    name = f"img_{c:02d}_{j}"
+                    img_path = os.path.join(base, "JPEGImages", name + ".jpg")
+                    if not os.path.exists(img_path):
+                        _save_rgb(img_path, rng)
+                        ann = np.zeros((30, 40), np.uint8)
+                        ann[4:20, 6:30] = c + 1
+                        ann[0:2, :] = 255  # ignore boundary strip
+                        p = os.path.join(base, "SegmentationClassAug", name + ".png")
+                        os.makedirs(os.path.dirname(p), exist_ok=True)
+                        Image.fromarray(ann).save(p)
+                    lines.append(f"{name}__{c + 1:02d}")
+            d = os.path.join(base, "splits", split)
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"fold{fold}.txt"), "w") as f:
+                f.write("\n".join(lines) + "\n")
+    return root
+
+
+def make_fss(root: str, n_cats: int = 6, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    base = os.path.join(root, "FSS-1000")
+    cats = [f"cat_{i:03d}" for i in range(n_cats)]
+    for cat in cats:
+        for i in range(1, 11):
+            jpg = os.path.join(base, "data", cat, f"{i}.jpg")
+            if not os.path.exists(jpg):
+                _save_rgb(jpg, rng)
+                m = np.zeros((30, 40), np.uint8)
+                m[10:25, 5:35] = 255
+                Image.fromarray(m).save(jpg.replace(".jpg", ".png"))
+    os.makedirs(os.path.join(base, "splits"), exist_ok=True)
+    for split in ("trn", "val", "test"):
+        with open(os.path.join(base, "splits", f"{split}.txt"), "w") as f:
+            f.write("\n".join(cats) + "\n")
+    return root
+
+
+def make_lvis(root: str, n_classes: int = 12, imgs_per_class: int = 4, seed: int = 0):
+    from diffews_tpu.data.masks import rle_encode
+
+    rng = np.random.default_rng(seed)
+    base = os.path.join(root, "LVIS")
+    img_root = os.path.join(base, "coco")
+    for split in ("train", "val"):
+        anno = {}
+        for c in range(n_classes):
+            per_img = {}
+            for i in range(imgs_per_class):
+                name = f"{split}2017/{c:03d}_{i:04d}.jpg"
+                path = os.path.join(img_root, name)
+                if not os.path.exists(path):
+                    _save_rgb(path, rng)
+                m = np.zeros((30, 40), np.uint8)
+                m[3 + c % 8 : 22, 4:33] = 1
+                rle = rle_encode(m)
+                # half polygons, half RLEs to exercise both codecs
+                if i % 2 == 0:
+                    seg = [[4.0, 3.0, 32.0, 3.0, 32.0, 21.0, 4.0, 21.0]]
+                else:
+                    seg = rle
+                per_img[name] = {"annotations": [{"segmentation": seg}]}
+            anno[c] = per_img
+        with open(os.path.join(base, f"lvis_{split}.pkl"), "wb") as f:
+            pickle.dump(anno, f)
+    return root

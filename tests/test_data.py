@@ -1,0 +1,217 @@
+"""Data layer tests: mask codecs, episodic samplers, loader, RNG parity."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from diffews_tpu.data import masks as M
+from diffews_tpu.data.dataset import FSSDataset
+from diffews_tpu.data.loader import EpisodeLoader, collate
+from diffews_tpu.data.transforms import ImageTransform, nearest_resize_mask
+from helpers import synthetic_data as syn
+
+
+class TestMaskCodecs:
+    def test_rle_roundtrip(self):
+        rng = np.random.default_rng(0)
+        for _ in range(5):
+            m = (rng.random((23, 31)) > 0.6).astype(np.uint8)
+            rle = M.rle_encode(m)
+            np.testing.assert_array_equal(M.rle_decode(rle), m)
+
+    def test_rle_decode_known(self):
+        # column-major: 2 zeros then 2 ones in a 2x2 mask => first column 0,
+        # second column 1
+        rle = {"size": [2, 2], "counts": [2, 2]}
+        np.testing.assert_array_equal(
+            M.rle_decode(rle), np.array([[0, 1], [0, 1]], np.uint8)
+        )
+
+    def test_rle_empty_and_full(self):
+        z = np.zeros((5, 7), np.uint8)
+        np.testing.assert_array_equal(M.rle_decode(M.rle_encode(z)), z)
+        o = np.ones((5, 7), np.uint8)
+        np.testing.assert_array_equal(M.rle_decode(M.rle_encode(o)), o)
+
+    def test_rle_string_counts(self):
+        m = (np.random.default_rng(1).random((16, 16)) > 0.5).astype(np.uint8)
+        rle = M.rle_encode(m)
+        assert isinstance(rle["counts"], bytes)
+        # also accept str
+        rle_str = {"size": rle["size"], "counts": rle["counts"].decode("ascii")}
+        np.testing.assert_array_equal(M.rle_decode(rle_str), m)
+
+    def test_polygon_rect(self):
+        mask = M.polygons_to_bitmask(
+            [np.array([2.0, 3.0, 10.0, 3.0, 10.0, 8.0, 2.0, 8.0])], 12, 14
+        )
+        assert mask[5, 6]
+        assert mask[3, 2] and mask[8, 10]  # boundary included
+        assert not mask[0, 0] and not mask[11, 13]
+
+    def test_segmentation_dispatch(self):
+        h = w = 8
+        poly = [[1.0, 1.0, 6.0, 1.0, 6.0, 6.0, 1.0, 6.0]]
+        assert M.segmentation_to_mask(poly, h, w).any()
+        m = np.eye(8, dtype=np.uint8)
+        rle = M.rle_encode(m)
+        np.testing.assert_array_equal(M.segmentation_to_mask(rle, h, w), m.astype(bool))
+        np.testing.assert_array_equal(M.segmentation_to_mask(m, h, w), m.astype(bool))
+
+
+class TestTransforms:
+    def test_image_transform_range_shape(self):
+        from PIL import Image
+
+        t = ImageTransform(64)
+        img = Image.fromarray(
+            np.random.default_rng(0).integers(0, 255, (30, 40, 3), np.uint8)
+        )
+        out = t(img)
+        assert out.shape == (3, 64, 64)
+        assert out.min() >= -1.0 and out.max() <= 1.0
+
+    def test_nearest_mask_matches_torch(self):
+        import torch
+        import torch.nn.functional as F
+
+        m = (np.random.default_rng(2).random((30, 41)) > 0.5).astype(np.float32)
+        got = nearest_resize_mask(m, (64, 64))
+        want = F.interpolate(
+            torch.from_numpy(m)[None, None], (64, 64), mode="nearest"
+        )[0, 0].numpy()
+        np.testing.assert_array_equal(got, want)
+
+
+class TestCOCO(object):
+    @pytest.fixture(scope="class")
+    def coco_root(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("data"))
+        syn.make_coco(root)
+        return root
+
+    def test_episode_shapes(self, coco_root):
+        FSSDataset.initialize(64, coco_root)
+        np.random.seed(0)
+        ds = FSSDataset.build_dataset("coco", fold=0, split="test", shot=2)
+        assert len(ds) == 1000
+        ep = ds[0]
+        assert ep["query_img"].shape == (3, 64, 64)
+        assert ep["query_mask"].shape == (64, 64)
+        assert set(np.unique(ep["query_mask"])) <= {0.0, 1.0}
+        assert ep["support_imgs"].shape == (2, 3, 64, 64)
+        assert ep["support_masks"].shape == (2, 64, 64)
+        assert ep["class_id"] in ds.class_ids
+        assert ep["query_name"] not in ep["support_names"]
+
+    def test_seeded_reproducibility(self, coco_root):
+        FSSDataset.initialize(64, coco_root)
+        ds = FSSDataset.build_dataset("coco", fold=0, split="test", shot=1)
+        np.random.seed(0)
+        eps1 = [ds[i] for i in range(10)]
+        np.random.seed(0)
+        eps2 = [ds[i] for i in range(10)]
+        assert [e["query_name"] for e in eps1] == [e["query_name"] for e in eps2]
+        assert [e["support_names"] for e in eps1] == [e["support_names"] for e in eps2]
+
+    def test_rng_call_sequence_matches_reference_protocol(self, coco_root):
+        """Replays the exact np.random call sequence of the reference COCO
+        sampler (coco.py:88-103) and checks our dataset draws identically."""
+        FSSDataset.initialize(64, coco_root)
+        ds = FSSDataset.build_dataset("coco", fold=0, split="test", shot=1)
+
+        np.random.seed(0)
+        expected = []
+        with open(os.path.join(coco_root, "COCO2014/splits/val/fold0.pkl"), "rb") as f:
+            meta = pickle.load(f)
+        class_ids = [c for c in (0 + 4 * v for v in range(20)) if c in meta]
+        for _ in range(5):
+            cls = np.random.choice(class_ids, 1, replace=False)[0]
+            qry = np.random.choice(meta[cls], 1, replace=False)[0]
+            sups = []
+            while True:
+                s = np.random.choice(meta[cls], 1, replace=False)[0]
+                if s != qry:
+                    sups.append(s)
+                if len(sups) == 1:
+                    break
+            expected.append((qry, tuple(sups)))
+
+        np.random.seed(0)
+        eps = [ds[i] for i in range(5)]
+        got = [(ep["query_name"], tuple(ep["support_names"])) for ep in eps]
+        assert got == expected
+
+
+class TestPascal:
+    @pytest.fixture(scope="class")
+    def pascal_root(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("data"))
+        syn.make_pascal(root)
+        return root
+
+    def test_episode_with_ignore(self, pascal_root):
+        FSSDataset.initialize(64, pascal_root)
+        np.random.seed(0)
+        ds = FSSDataset.build_dataset("pascal", fold=1, split="test", shot=1)
+        ep = ds[0]
+        assert ep["query_ignore_idx"].shape == (64, 64)
+        assert ep["query_ignore_idx"].max() == 1.0  # boundary strip present
+        assert np.logical_and(ep["query_ignore_idx"], ep["query_mask"]).sum() == 0
+        assert ep["class_id"] in [5, 6, 7, 8, 9]
+
+    def test_deterministic_query_order(self, pascal_root):
+        FSSDataset.initialize(64, pascal_root)
+        ds = FSSDataset.build_dataset("pascal", fold=0, split="test", shot=1)
+        np.random.seed(0)
+        # queries come from metadata[idx % len] regardless of RNG
+        names = [ds[i]["query_name"] for i in range(3)]
+        expect = [ds.img_metadata[i % len(ds.img_metadata)][0] for i in range(3)]
+        assert names == expect
+
+
+class TestFSSAndLVIS:
+    def test_fss_episode(self, tmp_path):
+        syn.make_fss(str(tmp_path))
+        FSSDataset.initialize(32, str(tmp_path))
+        np.random.seed(0)
+        ds = FSSDataset.build_dataset("fss", fold=0, split="test", shot=1)
+        ep = ds[0]
+        assert ep["query_mask"].max() == 1.0
+        assert ep["class_id"] >= 760  # test split offset
+
+    def test_lvis_episode(self, tmp_path):
+        syn.make_lvis(str(tmp_path))
+        FSSDataset.initialize(32, str(tmp_path))
+        np.random.seed(0)
+        ds = FSSDataset.build_dataset("lvis", fold=0, split="test", shot=1)
+        assert len(ds) == 2300
+        ep = ds[0]
+        assert ep["query_mask"].shape == (32, 32)
+        assert ep["query_mask"].max() == 1.0
+        assert ep["class_id"] in ds.class_ids
+
+
+class TestLoader:
+    def test_collate_and_iteration(self, tmp_path):
+        syn.make_coco(str(tmp_path))
+        FSSDataset.initialize(32, str(tmp_path))
+        np.random.seed(0)
+        loader = FSSDataset.build_dataloader("coco", bsz=2, nworker=0, fold=0,
+                                             split="test", shot=1)
+        batch = next(iter(loader))
+        assert batch["query_img"].shape == (2, 3, 32, 32)
+        assert batch["support_imgs"].shape == (2, 1, 3, 32, 32)
+        assert batch["class_id"].shape == (2,)
+
+    def test_threaded_prefetch_same_episodes(self, tmp_path):
+        syn.make_coco(str(tmp_path))
+        FSSDataset.initialize(32, str(tmp_path))
+        ds = FSSDataset.build_dataset("coco", fold=0, split="test", shot=1)
+        np.random.seed(0)
+        seq = [b["query_name"][0] for _, b in zip(range(6), EpisodeLoader(ds, 1))]
+        np.random.seed(0)
+        thr = [b["query_name"][0] for _, b in zip(range(6), EpisodeLoader(ds, 1, num_workers=2))]
+        assert seq == thr
