@@ -1,0 +1,76 @@
+"""Benchmark: query throughput at 1-shot 512px on one TPU chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol (BASELINE.md): full DiffewS inference per query — VAE-encode of
+query+support+mask, joint support/query SD-2.1 UNet forward with KV-fusion
+attention, degenerate one-step DDIM, VAE decode, uint8 quantization — at
+512px, 1-shot, bf16, batched episodes.  The reference runs the same math on
+an RTX-4090 via torch/xformers with bsz=1 per episode
+(`scripts/eval_coco2014_rthres_1shot_nosample.sh`).
+
+`vs_baseline` divides by REF_4090_QPS, an estimate of the reference's 4090
+query throughput (the repo publishes no numbers — BASELINE.md: "reference
+wall-clock must be measured"; no CUDA hardware exists in this environment,
+so the estimate derives from the per-episode op inventory: 2 UNet forwards
++ 4 VAE encodes + 1 decode at 512px fp16 ~ 200-300 ms on a 4090 => ~4-5
+queries/s; we use 5.0, the generous end).  Target: vs_baseline >= 8.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_4090_QPS = 5.0  # estimated reference throughput (see module docstring)
+
+
+def main():
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    jfn = jax.jit(fn)
+    unet_params, vae_params = args[0], args[1]
+
+    def run(batch):
+        rng = np.random.default_rng(0)
+        b, n, s = batch, 1, 512
+        dt = jnp.bfloat16
+        q = jnp.asarray(rng.uniform(-1, 1, (b, s, s, 3)), dt)
+        sup = jnp.asarray(rng.uniform(-1, 1, (b, n, s, s, 3)), dt)
+        msk = jnp.asarray(rng.uniform(-1, 1, (b, n, s, s, 3)), dt)
+        ctx = jnp.asarray(rng.normal(size=(b, 2, 1024)), dt)
+        out = jfn(unet_params, vae_params, q, sup, msk, ctx)
+        out.block_until_ready()  # compile + warm
+        # timed steady-state
+        iters = max(4, int(16 / batch))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = jfn(unet_params, vae_params, q, sup, msk, ctx)
+        out.block_until_ready()
+        dt_s = (time.perf_counter() - t0) / iters
+        return batch / dt_s
+
+    best_qps, best_bs = 0.0, 1
+    for bs in (1, 4, 8):
+        try:
+            qps = run(bs)
+        except Exception:
+            break
+        if qps > best_qps:
+            best_qps, best_bs = qps, bs
+
+    print(json.dumps({
+        "metric": f"query images/sec at 1-shot 512px (bf16, batch {best_bs}, 1 chip)",
+        "value": round(best_qps, 3),
+        "unit": "queries/s",
+        "vs_baseline": round(best_qps / REF_4090_QPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

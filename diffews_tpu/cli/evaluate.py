@@ -1,0 +1,142 @@
+"""Evaluation harness CLI.
+
+TPU-native counterpart of `evaluation_util/main_oss.py`: same flags, same
+seeded episodic protocol, same metric math — the episode loop drives the
+single-XLA-program pipeline instead of the torch double-dispatch one.
+
+Usage (mirrors `scripts/eval_coco2014_rthres_1shot_nosample.sh`):
+
+    python -m diffews_tpu.cli.evaluate \\
+        --checkpoint weight/stable-diffusion-2-1-ref8inchannels-tag4inchannels \\
+        --unet_ckpt_path $MODEL_DIR/unet \\
+        --scheduler_load_path ./scheduler_1.0_1.0 \\
+        --datapath FSSBench --benchmark coco --fold 0 --nshot 1 \\
+        --img-size 512 --denoise_steps 1 --ensemble_size 1 \\
+        --threshold 0 --r_threshold 0.25 --log-root ./logs/eval
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+import time
+
+import numpy as np
+
+from diffews_tpu.data.dataset import FSSDataset
+from diffews_tpu.evaluation import AverageMeter, Evaluator
+from diffews_tpu.evaluation.meter import EvalLogger
+from diffews_tpu.evaluation.vis import Visualizer
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("DiffewS-TPU one-shot segmentation evaluation")
+    # dataset
+    p.add_argument("--datapath", type=str, default="datasets")
+    p.add_argument("--benchmark", type=str, default="coco",
+                   choices=["fss", "coco", "pascal", "lvis", "paco_part",
+                            "pascal_part", "pascal_cd"])
+    p.add_argument("--bsz", type=int, default=1)
+    p.add_argument("--nworker", type=int, default=0)
+    p.add_argument("--fold", type=int, default=0)
+    p.add_argument("--nshot", type=int, default=1)
+    p.add_argument("--img-size", dest="img_size", type=int, default=518)
+    p.add_argument("--use_original_imgsize", action="store_true")
+    p.add_argument("--log-root", dest="log_root", type=str, default="output/debug")
+    p.add_argument("--visualize", type=int, default=0)
+    p.add_argument("--vis_path", type=str, default="output/debug/vis")
+    # diffusion
+    p.add_argument("--checkpoint", type=str, required=True,
+                   help="diffusers-layout base checkpoint directory")
+    p.add_argument("--scheduler_load_path", type=str, default=None)
+    p.add_argument("--unet_ckpt_path", type=str, default=None)
+    p.add_argument("--denoise_steps", type=int, default=1)
+    p.add_argument("--threshold", type=float, default=0.1)
+    p.add_argument("--r_threshold", type=float, default=0.0)
+    p.add_argument("--half_precision", action="store_true",
+                   help="bfloat16 compute (TPU-native half precision)")
+    p.add_argument("--ensemble_size", type=int, default=1)
+    p.add_argument("--test_timestep", type=int, default=1)
+    p.add_argument("--attn_impl", type=str, default="xla", choices=["xla", "pallas"])
+    p.add_argument("--max_episodes", type=int, default=0,
+                   help="cap episode count (0 = full protocol)")
+    return p
+
+
+def evaluate(args) -> tuple[float, float]:
+    # Seeded protocol (main_oss.py:33-36): global RNGs pinned before episode
+    # sampling.
+    random.seed(0)
+    np.random.seed(0)
+
+    EvalLogger.initialize(args, root=args.log_root, benchmark=args.benchmark)
+    Visualizer.initialize(bool(args.visualize), args.vis_path)
+
+    import jax.numpy as jnp
+
+    from diffews_tpu.pipeline import DiffewsPipeline
+
+    pipe = DiffewsPipeline.from_pretrained(
+        args.checkpoint,
+        unet_dir=args.unet_ckpt_path,
+        scheduler_dir=args.scheduler_load_path,
+        compute_dtype=jnp.bfloat16 if args.half_precision else jnp.float32,
+        attn_impl=args.attn_impl,
+        test_timestep=args.test_timestep,
+    )
+
+    FSSDataset.initialize(args.img_size, args.datapath, args.use_original_imgsize)
+    loader = FSSDataset.build_dataloader(
+        args.benchmark, args.bsz, args.nworker, args.fold, "test", args.nshot
+    )
+    meter = AverageMeter(loader.dataset.benchmark, loader.dataset.class_ids)
+
+    n_total = len(loader)
+    t0 = time.time()
+    n_done = 0
+    for idx, batch in enumerate(loader):
+        if args.max_episodes and idx >= args.max_episodes:
+            break
+        # support masks: (B,N,H,W) {0,1} -> (B,N,3,H,W) in [-1,1]
+        # (main_oss.py:100-104)
+        smask = np.repeat(batch["support_masks"][:, :, None], 3, axis=2) * 2.0 - 1.0
+
+        out = pipe.predict(
+            batch["query_img"],
+            batch["support_imgs"],
+            smask,
+            denoising_steps=args.denoise_steps,
+            out_size=tuple(batch["query_img"].shape[-2:]),
+            r_threshold=args.r_threshold,
+            threshold=args.threshold if args.r_threshold <= 0 else 0.0,
+        )
+        pred = out.mask.astype(np.int64)
+
+        inter, union = Evaluator.classify_prediction(
+            pred, batch["query_mask"], batch.get("query_ignore_idx")
+        )
+        meter.update(inter, union, batch["class_id"])
+        meter.write_process(idx, n_total, epoch=-1, write_batch_idx=50)
+        n_done += pred.shape[0]
+
+        if Visualizer.visualize:
+            iou = inter[1] / np.maximum(union[1], 1)
+            Visualizer.visualize_prediction_batch(
+                batch["support_imgs"], batch["support_masks"], batch["query_img"],
+                batch["query_mask"], pred, batch["class_id"], idx, iou,
+            )
+
+    dt = time.time() - t0
+    miou, fb_iou = meter.write_result("Test", 0)
+    EvalLogger.info(f"throughput: {n_done / dt:.3f} episodes/s ({n_done} in {dt:.1f}s)")
+    EvalLogger.info("mIoU: %5.2f \t FB-IoU: %5.2f" % (miou, fb_iou))
+    return miou, fb_iou
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return evaluate(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,251 @@
+"""In-context n-shot training CLI.
+
+TPU-native counterpart of
+`train_tools/train_icl_multitask_nocrop_nearest_nshot_v3.py` (flags mirror
+the canonical scripts `scripts/train_*.sh`).  Differences by design:
+
+  - HF Accelerate DDP/NCCL -> `jax.sharding` data parallelism on a device
+    mesh (XLA inserts the gradient psum); no process launcher needed.
+  - fp16 + xformers -> bf16 + fused-KV attention (XLA or Pallas).
+  - gradient accumulation happens inside the jitted step (lax.scan).
+  - `--benchmark` accepts a comma-separated list for multitask training
+    (e.g. "lvis,paco_part" — the reference trains these via separate
+    scripts with the multitask trainer).
+
+Checkpoints are written in the reference's `checkpoint-{step}/unet` diffusers
+layout, so they are directly consumable by the reference eval and ours.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import os
+import random
+import time
+
+import numpy as np
+
+from diffews_tpu.data.dataset import FSSDataset
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("DiffewS-TPU in-context training")
+    p.add_argument("--pretrained_model_name_or_path", type=str, required=True,
+                   help="base checkpoint (ref8inchannels surgery output)")
+    p.add_argument("--scheduler_load_path", type=str, default=None)
+    p.add_argument("--output_dir", type=str, default="logs/diffews-train")
+    p.add_argument("--seed", type=int, default=None)
+    # data
+    p.add_argument("--datapath", type=str, default="datasets")
+    p.add_argument("--benchmark", type=str, default="coco",
+                   help="benchmark or comma-list for multitask")
+    p.add_argument("--fold", type=int, default=0)
+    p.add_argument("--nshot", type=int, default=1, help="max shots (pad+mask)")
+    p.add_argument("--resolution", "--img_size", dest="resolution", type=int, default=512)
+    p.add_argument("--dataloader_num_workers", type=int, default=2)
+    # optimization
+    p.add_argument("--train_batch_size", type=int, default=1,
+                   help="per-device episode batch")
+    p.add_argument("--gradient_accumulation_steps", type=int, default=4)
+    p.add_argument("--max_train_steps", type=int, default=20000)
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--lr_scheduler", type=str, default="polynomial")
+    p.add_argument("--lr_warmup_steps", type=int, default=0)
+    p.add_argument("--reference_lr_quirk", action="store_true",
+                   help="advance the LR schedule gas x faster, bit-matching "
+                        "the reference's per-micro-batch scheduler stepping")
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-2)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--train_timestep", type=int, default=1)
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--mixed_precision", type=str, default="bf16",
+                   choices=["no", "bf16"])
+    p.add_argument("--attn_impl", type=str, default="xla", choices=["xla", "pallas"])
+    p.add_argument("--no_remat", action="store_true")
+    # parallelism
+    p.add_argument("--num_data_shards", type=int, default=0,
+                   help="data-parallel mesh size (0 = all devices)")
+    p.add_argument("--num_model_shards", type=int, default=1,
+                   help="tensor-parallel mesh size")
+    # checkpointing / logging
+    p.add_argument("--checkpointing_steps", type=int, default=2000)
+    p.add_argument("--checkpoints_total_limit", type=int, default=None)
+    p.add_argument("--resume_from_checkpoint", type=str, default=None,
+                   help="'latest' or a checkpoint-N dir")
+    p.add_argument("--report_to", type=str, default="none",
+                   choices=["none", "tensorboard"])
+    p.add_argument("--logging_steps", type=int, default=50)
+    return p
+
+
+def _episode_to_streams(batch, rng: random.Random, max_nshot: int):
+    """Host-side per-step tensor prep, matching `train_icl_*_v3.py:1325-1340`:
+    masks to 3-channel [-1,1]; random 1..max_nshot shot subset -> bool mask
+    over padded supports (mask semantics == physically dropping the shots)."""
+    q = np.moveaxis(batch["query_img"], 1, -1)                      # (B,H,W,3)
+    sup = np.moveaxis(batch["support_imgs"], 2, -1)                 # (B,N,H,W,3)
+    qm3 = np.repeat(batch["query_mask"][:, :, :, None], 3, -1) * 2.0 - 1.0
+    sm3 = np.repeat(batch["support_masks"][:, :, :, :, None], 3, -1) * 2.0 - 1.0
+    b, n = sup.shape[:2]
+    shot_mask = np.zeros((b, n), dtype=bool)
+    for i in range(b):
+        k = rng.randint(1, max_nshot)
+        shot_mask[i, rng.sample(range(n), k)] = True
+    return q.astype(np.float32), qm3.astype(np.float32), sup.astype(np.float32), \
+        sm3.astype(np.float32), shot_mask
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffews_tpu import checkpoint as ckpt_lib
+    from diffews_tpu.models import clip_text
+    from diffews_tpu.parallel import mesh as mesh_lib
+    from diffews_tpu.training import checkpoints as tck
+    from diffews_tpu.training.state import TrainerConfig, init_state, make_train_step
+
+    if args.seed is not None:
+        random.seed(args.seed)
+        np.random.seed(args.seed)
+    shot_rng = random.Random(args.seed if args.seed is not None else 0)
+
+    # ---- models ----
+    bundle = ckpt_lib.load_pipeline_bundle(
+        args.pretrained_model_name_or_path, scheduler_dir=args.scheduler_load_path
+    )
+    ids77 = clip_text.empty_prompt_ids(bundle.text_cfg, pad_to=77)
+    text_embed = clip_text.forward(bundle.text_params, bundle.text_cfg, ids77)
+
+    tcfg = TrainerConfig(
+        learning_rate=args.learning_rate,
+        adam_beta1=args.adam_beta1,
+        adam_beta2=args.adam_beta2,
+        adam_epsilon=args.adam_epsilon,
+        adam_weight_decay=args.adam_weight_decay,
+        max_grad_norm=args.max_grad_norm,
+        lr_scheduler=args.lr_scheduler,
+        lr_warmup_steps=args.lr_warmup_steps,
+        max_train_steps=args.max_train_steps,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        train_timestep=args.train_timestep,
+        max_nshot=args.nshot,
+        use_ema=args.use_ema,
+        compute_dtype=jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32,
+        attn_impl=args.attn_impl,
+        remat=not args.no_remat,
+        lr_steps_per_opt_step=(
+            args.gradient_accumulation_steps if args.reference_lr_quirk else 1
+        ),
+    )
+
+    # ---- mesh + sharding ----
+    m = mesh_lib.make_mesh(
+        n_data=args.num_data_shards or None, n_model=args.num_model_shards
+    )
+    state = init_state(tcfg, bundle.unet_params)
+    state = state._replace(
+        params=mesh_lib.shard_params(state.params, m, args.num_model_shards > 1)
+    )
+    step_fn = jax.jit(
+        make_train_step(tcfg, bundle.unet_cfg, bundle.vae_cfg, bundle.vae_params,
+                        text_embed),
+        donate_argnums=(0,),
+    )
+
+    # ---- resume ----
+    global_step = 0
+    if args.resume_from_checkpoint:
+        ckpt = (
+            tck.latest_checkpoint(args.output_dir)
+            if args.resume_from_checkpoint == "latest"
+            else args.resume_from_checkpoint
+        )
+        if ckpt:
+            state, global_step = tck.load_checkpoint(ckpt, state)
+            print(f"resumed from {ckpt} @ step {global_step}")
+
+    # ---- data: round-robin over benchmarks (multitask) ----
+    FSSDataset.initialize(args.resolution, args.datapath)
+    benchmarks = [b.strip() for b in args.benchmark.split(",") if b.strip()]
+    loaders = [
+        FSSDataset.build_dataloader(
+            b, args.train_batch_size, args.dataloader_num_workers,
+            args.fold, "trn", args.nshot,
+        )
+        for b in benchmarks
+    ]
+
+    def endless(loader):
+        while True:
+            yield from loader
+
+    streams = [endless(l) for l in loaders]
+    robin = itertools.cycle(streams)
+
+    writer = None
+    if args.report_to == "tensorboard":
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(os.path.join(args.output_dir, "tb"))
+
+    batch_sh = mesh_lib.batch_sharding(m)
+    key = jax.random.PRNGKey(args.seed or 0)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    t0 = time.time()
+    losses = []
+    while global_step < args.max_train_steps:
+        micro = []
+        for _ in range(args.gradient_accumulation_steps):
+            micro.append(
+                _episode_to_streams(next(next(robin)), shot_rng, args.nshot)
+            )
+        batch = {
+            "query": np.stack([mb[0] for mb in micro]),
+            "q_mask3": np.stack([mb[1] for mb in micro]),
+            "supports": np.stack([mb[2] for mb in micro]),
+            "s_mask3": np.stack([mb[3] for mb in micro]),
+            "shot_mask": np.stack([mb[4] for mb in micro]),
+        }
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch = {
+            k: jax.device_put(v, NamedSharding(m, P(None, "data")))
+            for k, v in batch.items()
+        }
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch, sub)
+        global_step += 1
+
+        if global_step % args.logging_steps == 0 or global_step == 1:
+            loss = float(metrics["loss"])
+            losses.append(loss)
+            rate = global_step / (time.time() - t0)
+            print(f"step {global_step}/{args.max_train_steps} "
+                  f"loss {loss:.5f} ({rate:.2f} opt-steps/s)")
+            if writer:
+                writer.add_scalar("train_loss", loss, global_step)
+
+        if global_step % args.checkpointing_steps == 0:
+            path = tck.save_checkpoint(
+                args.output_dir, global_step, state, bundle.unet_cfg,
+                args.checkpoints_total_limit,
+            )
+            print(f"saved {path}")
+
+    tck.save_checkpoint(args.output_dir, global_step, state, bundle.unet_cfg,
+                        args.checkpoints_total_limit)
+    if writer:
+        writer.close()
+    print("training done")
+
+
+if __name__ == "__main__":
+    main()

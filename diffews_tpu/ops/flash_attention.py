@@ -1,0 +1,226 @@
+"""Pallas TPU flash attention for the fused-KV (concat-KV) path.
+
+This is the north-star kernel (SURVEY.md §5 "long-context"): DiffewS query
+tokens attend over `[hw own tokens ‖ nshot * hw support tokens]` — at 512px
+that is Sq=4096, Skv=4096*(1+n) per self-attention layer.  The XLA dense
+path materializes the (heads, 4096, 4096*(1+n)) probability tensor in HBM
+(hundreds of MB per layer per episode); this kernel keeps the online-softmax
+running state (m, l, acc) in VMEM and streams K/V blocks, so attention
+becomes bandwidth-light and batchable.
+
+Design notes:
+  - grid (B*H, Sq/bq, Skv/bk), KV innermost with "arbitrary" semantics —
+    TPU grid steps run sequentially per core, so VMEM scratch carries the
+    online-softmax state across KV blocks;
+  - optional `kv_mask` (B, Skv) adds -inf bias for padded n-shot support
+    tokens (same semantics as the dense path's shot masking);
+  - fp32 accumulation; bf16/f32 inputs;
+  - `custom_vjp`: backward recomputes probabilities from the saved
+    log-sum-exp with plain XLA einsums (training defaults to the XLA path +
+    remat; a Pallas backward is a further optimization);
+  - non-TPU backends run the kernel in interpreter mode (tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _pick_block(size: int, preferred: int) -> int:
+    for b in (preferred, 512, 256, 128, 64, 32, 16, 8):
+        if b <= preferred and size % b == 0 and b <= size:
+            return b
+    return size
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+                  m_scr, l_scr, acc_scr, *, scale, kv_blocks):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)          # (bq, d)
+    k = k_ref[0].astype(jnp.float32)          # (bk, d)
+    v = v_ref[0].astype(jnp.float32)          # (bk, d)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                  # (bq, bk)
+    if mask_ref is not None:
+        valid = mask_ref[0] > 0                # (bk,)
+        s = s + jnp.where(valid, 0.0, NEG_INF)[None, :]
+
+    m_prev = m_scr[:, :1]                      # (bq, 1)
+    l_prev = l_scr[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)                     # (bq, bk)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+    pv = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == kv_blocks - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        lse_ref[0] = (m_scr[:, 0] + jnp.log(l_scr[:, 0]))
+
+
+def _flash_forward(q, k, v, kv_mask, scale, block_q, block_k, interpret):
+    """q,k,v: (BH, S, D) / (BH, Skv, D); kv_mask: (BH, Skv) int8 or None."""
+    bh, sq, d = q.shape
+    skv = k.shape[1]
+    bq = _pick_block(sq, block_q)
+    bk = _pick_block(skv, block_k)
+    kv_blocks = skv // bk
+
+    in_specs = [
+        pl.BlockSpec((1, bq, d), lambda i, qi, ki: (i, qi, 0)),
+        pl.BlockSpec((1, bk, d), lambda i, qi, ki: (i, ki, 0)),
+        pl.BlockSpec((1, bk, d), lambda i, qi, ki: (i, ki, 0)),
+    ]
+    args = [q, k, v]
+    if kv_mask is not None:
+        in_specs.append(pl.BlockSpec((1, bk), lambda i, qi, ki: (i, ki)))
+        args.append(kv_mask)
+        kernel = functools.partial(_flash_kernel, scale=scale, kv_blocks=kv_blocks)
+    else:
+        kernel = functools.partial(
+            lambda qr, kr, vr, o, ls, m, l, a, **kw: _flash_kernel(
+                qr, kr, vr, None, o, ls, m, l, a, **kw
+            ),
+            scale=scale, kv_blocks=kv_blocks,
+        )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, sq // bq, kv_blocks),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, bq, d), lambda i, qi, ki: (i, qi, 0)),
+            pl.BlockSpec((1, bq), lambda i, qi, ki: (i, qi)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, scale, block_sizes, interpret):
+    out, _ = _flash_forward(q, k, v, None, scale, *block_sizes, interpret)
+    return out
+
+
+def _flash_fwd(q, k, v, scale, block_sizes, interpret):
+    out, lse = _flash_forward(q, k, v, None, scale, *block_sizes, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_bwd(scale, block_sizes, interpret, res, g):
+    q, k, v, out, lse = res
+    qf, kf, vf, of, gf = (t.astype(jnp.float32) for t in (q, k, v, out, g))
+    s = jnp.einsum("bqd,bkd->bqk", qf, kf) * scale
+    p = jnp.exp(s - lse[:, :, None])
+    dv = jnp.einsum("bqk,bqd->bkd", p, gf)
+    dp = jnp.einsum("bqd,bkd->bqk", gf, vf)
+    delta = jnp.sum(of * gf, axis=-1, keepdims=True)
+    ds = p * (dp - delta)
+    dq = jnp.einsum("bqk,bkd->bqd", ds, kf) * scale
+    dk = jnp.einsum("bqk,bqd->bkd", ds, qf) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_masked(q, k, v, kv_mask, scale, block_sizes, interpret):
+    out, _ = _flash_forward(q, k, v, kv_mask, scale, *block_sizes, interpret)
+    return out
+
+
+def _flash_masked_fwd(q, k, v, kv_mask, scale, block_sizes, interpret):
+    out, lse = _flash_forward(q, k, v, kv_mask, scale, *block_sizes, interpret)
+    return out, (q, k, v, kv_mask, out, lse)
+
+
+def _flash_masked_bwd(scale, block_sizes, interpret, res, g):
+    q, k, v, kv_mask, out, lse = res
+    qf, kf, vf, of, gf = (t.astype(jnp.float32) for t in (q, k, v, out, g))
+    s = jnp.einsum("bqd,bkd->bqk", qf, kf) * scale
+    s = s + jnp.where(kv_mask > 0, 0.0, NEG_INF)[:, None, :]
+    p = jnp.exp(s - lse[:, :, None])
+    dv = jnp.einsum("bqk,bqd->bkd", p, gf)
+    dp = jnp.einsum("bqd,bkd->bqk", gf, vf)
+    delta = jnp.sum(of * gf, axis=-1, keepdims=True)
+    ds = p * (dp - delta)
+    dq = jnp.einsum("bqk,bkd->bqd", ds, kf) * scale
+    dk = jnp.einsum("bqk,bqd->bkd", ds, qf) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
+
+
+_flash_masked.defvjp(_flash_masked_fwd, _flash_masked_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    kv_mask: Optional[jax.Array] = None,
+    block_q: int = 512,
+    block_k: int = 512,
+) -> jax.Array:
+    """Flash attention over (B, Sq, H, D) query and (B, Skv, H, D) key/value.
+
+    kv_mask: optional (B, Skv) bool (True = attend).  Returns (B, Sq, H, D).
+    """
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    if scale is None:
+        scale = d**-0.5
+    interpret = jax.default_backend() != "tpu"
+
+    # (B, S, H, D) -> (B*H, S, D)
+    qh = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+    kh = k.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
+    vh = v.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
+
+    if kv_mask is not None:
+        m = jnp.repeat(kv_mask.astype(jnp.int8), h, axis=0)  # (B*H, Skv)
+        out = _flash_masked(qh, kh, vh, m, float(scale), (block_q, block_k), interpret)
+    else:
+        out = _flash(qh, kh, vh, float(scale), (block_q, block_k), interpret)
+    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)

@@ -1,0 +1,89 @@
+"""Device mesh and sharding rules.
+
+The reference scales only by data parallelism (HF Accelerate DDP over NCCL,
+`scripts/coco_multigpu.sh:18`, SURVEY.md §2.3).  The TPU-native design is a
+2-D `("data", "model")` mesh:
+
+  - batch axes shard over "data" (gradient psum rides ICI, inserted by XLA);
+  - optionally, attention/FFN weight matrices shard over "model" (tensor
+    parallelism) — not required for parity (SD-2.1 fits one chip) but
+    available for large-chip-count serving;
+  - everything else is replicated.
+
+Sharding is expressed with `NamedSharding`/`PartitionSpec` and applied via
+`jax.jit` in/out shardings, letting XLA insert all collectives.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (
+        f"need {n_data * n_model} devices, have {len(devices)}"
+    )
+    dev = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(dev, axis_names=("data", "model"))
+
+
+# Param-tree regexes -> model-parallel PartitionSpec for the weight kernel.
+# Attention projections shard heads (out dim of q/k/v, in dim of out-proj);
+# FFN shards the hidden dim.  All biases and norms stay replicated.
+_TP_RULES = [
+    (re.compile(r"attn\d?\.(to_q|to_k|to_v)$"), P(None, "model")),
+    (re.compile(r"self_attn\.(q_proj|k_proj|v_proj)$"), P(None, "model")),
+    (re.compile(r"attn\d?\.to_out\.0$"), P("model", None)),
+    (re.compile(r"self_attn\.out_proj$"), P("model", None)),
+    (re.compile(r"ff\.net\.0\.proj$"), P(None, "model")),
+    (re.compile(r"ff\.net\.2$"), P("model", None)),
+    (re.compile(r"mlp\.fc1$"), P(None, "model")),
+    (re.compile(r"mlp\.fc2$"), P("model", None)),
+]
+
+
+def param_pspec_tree(params: dict, tensor_parallel: bool = False) -> dict:
+    """PartitionSpec tree matching `params` (replicated unless TP rules hit)."""
+
+    def rec(node, path):
+        if isinstance(node, dict) and "kernel" not in node and "scale" not in node \
+                and "embedding" not in node and not ("bias" in node and len(node) == 1):
+            return {k: rec(v, f"{path}.{k}" if path else k) for k, v in node.items()}
+        # leaf module
+        out = {}
+        for leaf in node:
+            spec = P()
+            if tensor_parallel and leaf == "kernel" and np.ndim(node[leaf]) == 2:
+                for rx, ps in _TP_RULES:
+                    if rx.search(path):
+                        spec = ps
+                        break
+            out[leaf] = spec
+        return out
+
+    return rec(params, "")
+
+
+def shard_params(params: dict, mesh: Mesh, tensor_parallel: bool = False) -> dict:
+    specs = param_pspec_tree(params, tensor_parallel)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis data sharding for episode batches."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,86 @@
+"""Training checkpoint save / rotate / resume.
+
+Layout contract (`train_tools/train_icl_*_v3.py:1128-1160,1407-1431`; SURVEY
+§5): `{output_dir}/checkpoint-{step}/unet/` in diffusers format (+
+`unet_ema/` when EMA is on) — readable by the reference's eval
+`--unet_ckpt_path <dir>/unet` — with rotation to `checkpoints_total_limit`
+and `resume_from_checkpoint latest` scanning.  Optimizer/EMA/step state is
+serialized alongside as `train_state.msgpack` (flax serialization; the
+reference keeps torch-native accelerate state here, which has no JAX
+equivalent).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Optional, Tuple
+
+import jax
+from flax import serialization
+
+from diffews_tpu import checkpoint as ckpt_lib
+from diffews_tpu.configs import UNetConfig
+from diffews_tpu.training.state import TrainState
+
+STATE_FILE = "train_state.msgpack"
+
+
+def save_checkpoint(output_dir: str, step: int, state: TrainState,
+                    unet_cfg: UNetConfig, total_limit: Optional[int] = None) -> str:
+    ckpt_dir = os.path.join(output_dir, f"checkpoint-{step}")
+    params = jax.device_get(state.params)
+    ckpt_lib.save_unet(params, unet_cfg, os.path.join(ckpt_dir, "unet"))
+    if state.ema is not None:
+        ckpt_lib.save_unet(jax.device_get(state.ema.params), unet_cfg,
+                           os.path.join(ckpt_dir, "unet_ema"))
+    aux = {"opt_state": jax.device_get(state.opt_state), "step": int(state.step),
+           "ema_step": int(state.ema.step) if state.ema is not None else 0}
+    with open(os.path.join(ckpt_dir, STATE_FILE), "wb") as f:
+        f.write(serialization.to_bytes(aux))
+
+    if total_limit:
+        rotate_checkpoints(output_dir, total_limit)
+    return ckpt_dir
+
+
+def list_checkpoints(output_dir: str):
+    if not os.path.isdir(output_dir):
+        return []
+    dirs = [d for d in os.listdir(output_dir) if d.startswith("checkpoint-")]
+    return sorted(dirs, key=lambda d: int(d.split("-")[1]))
+
+
+def rotate_checkpoints(output_dir: str, total_limit: int):
+    ckpts = list_checkpoints(output_dir)
+    while len(ckpts) > total_limit:
+        victim = ckpts.pop(0)
+        shutil.rmtree(os.path.join(output_dir, victim), ignore_errors=True)
+
+
+def latest_checkpoint(output_dir: str) -> Optional[str]:
+    ckpts = list_checkpoints(output_dir)
+    return os.path.join(output_dir, ckpts[-1]) if ckpts else None
+
+
+def load_checkpoint(ckpt_dir: str, template: TrainState) -> Tuple[TrainState, int]:
+    """Restore a TrainState from `checkpoint-{step}/` (template supplies the
+    pytree structure, e.g. a freshly-initialized state)."""
+    import jax.numpy as jnp
+
+    params, _ = ckpt_lib.load_unet(os.path.join(ckpt_dir, "unet"))
+    with open(os.path.join(ckpt_dir, STATE_FILE), "rb") as f:
+        aux = serialization.from_bytes(
+            {"opt_state": jax.device_get(template.opt_state),
+             "step": 0, "ema_step": 0},
+            f.read(),
+        )
+    ema = None
+    if template.ema is not None:
+        from diffews_tpu.training import ema as ema_lib
+
+        ema_dir = os.path.join(ckpt_dir, "unet_ema")
+        ema_params = ckpt_lib.load_unet(ema_dir)[0] if os.path.isdir(ema_dir) else params
+        ema = ema_lib.EMAState(ema_params, jnp.asarray(aux["ema_step"], jnp.int32))
+    step = int(aux["step"])
+    return TrainState(params, aux["opt_state"], ema, jnp.asarray(step, jnp.int32)), step

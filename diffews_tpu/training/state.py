@@ -1,0 +1,185 @@
+"""Train state and the jitted in-context training step.
+
+TPU-native counterpart of the reference training loop's inner step
+(`train_tools/train_icl_multitask_nocrop_nearest_nshot_v3.py:1320-1396`):
+
+  - all four VAE encodes (support RGB / support mask / query RGB / query
+    mask) fold into ONE batched `latent_dist.sample()` encode (`:1347-1358`);
+  - fixed timestep t = 1 * train_timestep, no noise added (`:1365`);
+  - frozen empty-prompt text embedding, padded to 77 tokens (`:1319,1368`);
+  - regression target is the NEGATIVE query-mask latent with plain MSE
+    (`:1371,1384`);
+  - the support("ref") pass happens inside the joint UNet forward; gradients
+    reach it through the fused K/V so the reference's `ref_pred * 0.` DDP
+    graph hack (`:1381`) has no equivalent;
+  - variable 1..max_nshot training uses a host-sampled `shot_mask` over
+    padded supports (one jit, static shapes) instead of re-tracing per shot
+    count (`:1336-1340`);
+  - gradient accumulation is a `lax.scan` over the micro-batch axis inside
+    the jit (grad-mean), replacing `accelerator.accumulate` (`:1323`);
+  - grad-clip 1.0 + AdamW(1e-5, wd 1e-2) + polynomial decay (`:1188-1223`);
+  - data parallelism: batch axes sharded over the mesh "data" axis; XLA
+    inserts the gradient psum (no NCCL/DDP machinery).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from diffews_tpu.configs import UNetConfig, VAEConfig
+from diffews_tpu.models import unet, vae
+from diffews_tpu.training import ema as ema_lib
+from diffews_tpu.training import lr as lr_lib
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    learning_rate: float = 1e-5
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_epsilon: float = 1e-8
+    adam_weight_decay: float = 1e-2
+    max_grad_norm: float = 1.0
+    lr_scheduler: str = "polynomial"
+    lr_warmup_steps: int = 0
+    max_train_steps: int = 20000
+    gradient_accumulation_steps: int = 4
+    train_timestep: int = 1
+    max_nshot: int = 1
+    use_ema: bool = False
+    compute_dtype: Any = jnp.bfloat16
+    attn_impl: str = "xla"
+    remat: bool = True
+    # Reference quirk parity: the diffusers-example loop the reference forked
+    # calls `lr_scheduler.step()` once per MICRO-batch while counting
+    # `max_train_steps` in optimizer steps (`train_icl_*_v3.py:1217-1223,
+    # 1395`), so the schedule advances gradient_accumulation_steps (x
+    # num_processes) faster than the optimizer.  1 = correct schedule
+    # (default); set to gas*nproc to reproduce the reference exactly.
+    lr_steps_per_opt_step: int = 1
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: Any
+    ema: Optional[ema_lib.EMAState]
+    step: jax.Array
+
+
+def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
+    base_schedule = lr_lib.get_schedule(
+        cfg.lr_scheduler, cfg.learning_rate, cfg.max_train_steps, cfg.lr_warmup_steps
+    )
+    k = cfg.lr_steps_per_opt_step
+    schedule = base_schedule if k == 1 else (lambda step: base_schedule(step * k))
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(
+            schedule,
+            b1=cfg.adam_beta1,
+            b2=cfg.adam_beta2,
+            eps=cfg.adam_epsilon,
+            weight_decay=cfg.adam_weight_decay,
+        ),
+    )
+
+
+def init_state(cfg: TrainerConfig, unet_params: dict) -> TrainState:
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(unet_params)
+    ema = ema_lib.init(unet_params) if cfg.use_ema else None
+    return TrainState(unet_params, opt_state, ema, jnp.zeros((), jnp.int32))
+
+
+def make_train_step(
+    cfg: TrainerConfig,
+    unet_cfg: UNetConfig,
+    vae_cfg: VAEConfig,
+    vae_params: dict,
+    text_embed: jax.Array,  # (1, 77, D), frozen
+):
+    """Returns `step_fn(state, batch, rng) -> (state, metrics)` (pure, jittable).
+
+    `batch` fields, each with leading (gas, B) axes:
+      query:    (G, B, H, W, 3) in [-1, 1]
+      q_mask3:  (G, B, H, W, 3) mask as 3-channel [-1, 1]
+      supports: (G, B, N, H, W, 3)
+      s_mask3:  (G, B, N, H, W, 3)
+      shot_mask:(G, B, N) bool
+    """
+    tx = make_optimizer(cfg)
+    dt = cfg.compute_dtype
+    vae_params_c = jax.tree_util.tree_map(lambda x: x.astype(dt), vae_params)
+
+    def loss_fn(params, micro, rng):
+        q, qm3, sup, sm3, shot_mask = (
+            micro["query"], micro["q_mask3"], micro["supports"],
+            micro["s_mask3"], micro["shot_mask"],
+        )
+        b, n = sup.shape[0], sup.shape[1]
+        flat = jnp.concatenate(
+            [
+                q.astype(dt),
+                qm3.astype(dt),
+                sup.reshape((b * n,) + sup.shape[2:]).astype(dt),
+                sm3.reshape((b * n,) + sm3.shape[2:]).astype(dt),
+            ],
+            axis=0,
+        )
+        # Frozen VAE: stochastic posterior sample (train path, `:1347-1358`).
+        lat = jax.lax.stop_gradient(
+            vae.sample_latent(vae_params_c, vae_cfg, flat, rng)
+        )
+        lh, lw = lat.shape[1:3]
+        q_lat = lat[:b]
+        qm_lat = lat[b : 2 * b]
+        s_lat = lat[2 * b : 2 * b + b * n].reshape(b, n, lh, lw, -1)
+        sm_lat = lat[2 * b + b * n :].reshape(b, n, lh, lw, -1)
+        ref = jnp.concatenate([s_lat, sm_lat], axis=-1)
+
+        ctx = jnp.broadcast_to(text_embed, (b,) + text_embed.shape[1:]).astype(dt)
+        params_c = jax.tree_util.tree_map(lambda x: x.astype(dt), params)
+        pred = unet.forward(
+            params_c, unet_cfg, q_lat, cfg.train_timestep, ctx,
+            ref_sample=ref, shot_mask=shot_mask,
+            attn_impl=cfg.attn_impl, remat=cfg.remat,
+        )
+        target = -qm_lat
+        return jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+
+    def step_fn(state: TrainState, batch, rng) -> Tuple[TrainState, dict]:
+        gas = batch["query"].shape[0]
+        rngs = jax.random.split(rng, gas)
+
+        def micro_step(carry, inp):
+            micro, r = inp
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, micro, r)
+            acc_loss, acc_grads = carry
+            acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+            return (acc_loss + loss, acc_grads), None
+
+        zero_grads = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=jnp.float32), state.params
+        )
+        (loss_sum, grads), _ = jax.lax.scan(
+            micro_step, (jnp.zeros((), jnp.float32), zero_grads), (batch, rngs)
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / gas, grads)
+        loss = loss_sum / gas
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = (
+            ema_lib.update(state.ema, params) if state.ema is not None else None
+        )
+        gnorm = optax.global_norm(grads)
+        new_state = TrainState(params, opt_state, ema, state.step + 1)
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    return step_fn

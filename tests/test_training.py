@@ -1,0 +1,162 @@
+"""Training subsystem tests on tiny configs + virtual 8-device CPU mesh."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffews_tpu.configs import UNetConfig, VAEConfig
+from diffews_tpu.models import unet, vae
+from diffews_tpu.parallel import mesh as mesh_lib
+from diffews_tpu.training import checkpoints as tck
+from diffews_tpu.training import ema as ema_lib
+from diffews_tpu.training.lr import polynomial_with_warmup
+from diffews_tpu.training.state import TrainerConfig, init_state, make_train_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
+    up = jax.jit(lambda r: unet.init_params(r, ucfg))(jax.random.PRNGKey(0))
+    vp = jax.jit(lambda r: vae.init_params(r, vcfg))(jax.random.PRNGKey(1))
+    text = jnp.zeros((1, 77, ucfg.cross_attention_dim), jnp.float32)
+    return ucfg, vcfg, up, vp, text
+
+
+def _batch(gas=2, b=2, n=2, s=32, seed=0):
+    rng = np.random.default_rng(seed)
+    f = lambda *sh: rng.uniform(-1, 1, sh).astype(np.float32)
+    mask = np.ones((gas, b, n), dtype=bool)
+    mask[:, :, 1] = rng.random((gas, b)) > 0.5  # some padded shots
+    return {
+        "query": f(gas, b, s, s, 3),
+        "q_mask3": f(gas, b, s, s, 3),
+        "supports": f(gas, b, n, s, s, 3),
+        "s_mask3": f(gas, b, n, s, s, 3),
+        "shot_mask": mask,
+    }
+
+
+class TestTrainStep:
+    def test_two_steps_loss_finite_params_move(self, setup):
+        ucfg, vcfg, up, vp, text = setup
+        cfg = TrainerConfig(max_train_steps=10, gradient_accumulation_steps=2,
+                            compute_dtype=jnp.float32, remat=False)
+        state = init_state(cfg, up)
+        step = jax.jit(make_train_step(cfg, ucfg, vcfg, vp, text))
+        p0 = np.asarray(state.params["conv_in"]["kernel"]).copy()
+        state, m1 = step(state, _batch(), jax.random.PRNGKey(0))
+        state, m2 = step(state, _batch(seed=1), jax.random.PRNGKey(1))
+        assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+        assert int(state.step) == 2
+        assert not np.allclose(np.asarray(state.params["conv_in"]["kernel"]), p0)
+        # support stream trained too (no ref*0 hack needed)
+        assert float(m1["grad_norm"]) > 0
+
+    def test_ema_tracks_params(self, setup):
+        ucfg, vcfg, up, vp, text = setup
+        cfg = TrainerConfig(use_ema=True, gradient_accumulation_steps=1,
+                            compute_dtype=jnp.float32, remat=False)
+        state = init_state(cfg, up)
+        step = jax.jit(make_train_step(cfg, ucfg, vcfg, vp, text))
+        state, _ = step(state, _batch(gas=1), jax.random.PRNGKey(0))
+        assert state.ema is not None and int(state.ema.step) == 1
+        # early decay is small => EMA close to new params, not old
+        d_new = float(jnp.abs(state.ema.params["conv_in"]["kernel"]
+                              - state.params["conv_in"]["kernel"]).max())
+        assert d_new < 1e-4
+
+    def test_checkpoint_save_resume_roundtrip(self, setup, tmp_path):
+        ucfg, vcfg, up, vp, text = setup
+        cfg = TrainerConfig(gradient_accumulation_steps=1,
+                            compute_dtype=jnp.float32, remat=False)
+        state = init_state(cfg, up)
+        step = jax.jit(make_train_step(cfg, ucfg, vcfg, vp, text))
+        state, _ = step(state, _batch(gas=1), jax.random.PRNGKey(0))
+
+        out = str(tmp_path)
+        tck.save_checkpoint(out, 1, state, ucfg)
+        assert os.path.isdir(os.path.join(out, "checkpoint-1", "unet"))
+
+        template = init_state(cfg, up)
+        restored, step_no = tck.load_checkpoint(
+            tck.latest_checkpoint(out), template
+        )
+        assert step_no == 1
+        np.testing.assert_allclose(
+            np.asarray(restored.params["conv_in"]["kernel"]),
+            np.asarray(state.params["conv_in"]["kernel"]), rtol=1e-6,
+        )
+        # optimizer moments restored
+        mu_a = jax.tree_util.tree_leaves(restored.opt_state)[0]
+        mu_b = jax.tree_util.tree_leaves(jax.device_get(state.opt_state))[0]
+        np.testing.assert_allclose(np.asarray(mu_a).ravel()[:5],
+                                   np.asarray(mu_b).ravel()[:5], rtol=1e-6)
+
+        # resumed training continues
+        restored, m = step(restored, _batch(gas=1, seed=3), jax.random.PRNGKey(3))
+        assert int(restored.step) == 2
+
+    def test_checkpoint_rotation(self, setup, tmp_path):
+        ucfg, vcfg, up, vp, text = setup
+        cfg = TrainerConfig(gradient_accumulation_steps=1,
+                            compute_dtype=jnp.float32, remat=False)
+        state = init_state(cfg, up)
+        out = str(tmp_path)
+        for s in (1, 2, 3):
+            tck.save_checkpoint(out, s, state, ucfg, total_limit=2)
+        assert tck.list_checkpoints(out) == ["checkpoint-2", "checkpoint-3"]
+
+
+class TestDataParallel:
+    def test_dp_step_on_8_device_mesh(self, setup):
+        """Full train step sharded over the virtual 8-CPU mesh; result must
+        match the single-device step (DP is semantics-preserving)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ucfg, vcfg, up, vp, text = setup
+        cfg = TrainerConfig(gradient_accumulation_steps=1,
+                            compute_dtype=jnp.float32, remat=False)
+        m = mesh_lib.make_mesh(n_data=8, n_model=1)
+        state = init_state(cfg, up)
+        state_sharded = state._replace(params=mesh_lib.shard_params(state.params, m))
+        step = jax.jit(make_train_step(cfg, ucfg, vcfg, vp, text))
+
+        batch = _batch(gas=1, b=8)
+        sharded = {k: jax.device_put(v, NamedSharding(m, P(None, "data")))
+                   for k, v in batch.items()}
+        s1, m1 = step(state_sharded, sharded, jax.random.PRNGKey(0))
+        s2, m2 = step(state, batch, jax.random.PRNGKey(0))
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(s1.params["conv_out"]["kernel"]),
+            np.asarray(s2.params["conv_out"]["kernel"]), rtol=1e-4, atol=1e-6,
+        )
+
+    def test_tensor_parallel_forward_matches(self, setup):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ucfg, _, up, _, _ = setup
+        m = mesh_lib.make_mesh(n_data=2, n_model=4)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 4)), jnp.float32)
+        ctx = jnp.asarray(np.random.default_rng(1).normal(size=(2, 2, ucfg.cross_attention_dim)), jnp.float32)
+        ref = jnp.asarray(np.random.default_rng(2).normal(size=(2, 1, 8, 8, 8)), jnp.float32)
+
+        want = jax.jit(unet.forward, static_argnames=("cfg",))(up, ucfg, x, 1, ctx, ref_sample=ref)
+        tp_params = mesh_lib.shard_params(up, m, tensor_parallel=True)
+        xs = jax.device_put(x, NamedSharding(m, P("data")))
+        got = jax.jit(unet.forward, static_argnames=("cfg",))(tp_params, ucfg, xs, 1, ctx, ref_sample=ref)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_polynomial_schedule_values():
+    sched = polynomial_with_warmup(1e-5, 100, num_warmup_steps=10, lr_end=1e-7)
+    assert abs(float(sched(0))) < 1e-12
+    assert abs(float(sched(10)) - 1e-5) < 1e-10
+    assert abs(float(sched(100)) - 1e-7) < 1e-10
+    assert abs(float(sched(1000)) - 1e-7) < 1e-10
+    mid = float(sched(55))
+    assert 1e-7 < mid < 1e-5
