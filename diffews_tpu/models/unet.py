@@ -55,7 +55,7 @@ ATTN_EPS = 1e-6  # Transformer2D GroupNorm epsilon
 # ---------------------------------------------------------------------------
 
 
-def _attn1(p, h, *, heads, ref_rows, n_shots, shot_mask, attn_impl, mask_bias=None):
+def _attn1(p, h, *, heads, ref_rows, n_shots, shot_mask, attn_impl, sup_bias=None):
     """Self-attention with KV fusion between the two streams.
 
     h: (R+B, S, C) where the first R = B*n_shots rows are the support
@@ -80,7 +80,7 @@ def _attn1(p, h, *, heads, ref_rows, n_shots, shot_mask, attn_impl, mask_bias=No
         v_sup = v[:r].reshape(b, n_shots, s, heads, hd)
         out_tag = fused_kv_attention(
             q[r:], k[r:], v[r:], k_sup, v_sup,
-            shot_mask=shot_mask, impl=attn_impl,
+            shot_mask=shot_mask, support_bias=sup_bias, impl=attn_impl,
         )
         out = jnp.concatenate([out_ref, out_tag], axis=0)
 
@@ -97,11 +97,11 @@ def _attn2(p, h, ctx, *, heads):
 
 
 def _basic_transformer_block(p, h, ctx, *, heads, stream_info, attn_impl):
-    ref_rows, n_shots, shot_mask = stream_info
+    ref_rows, n_shots, shot_mask, sup_bias = stream_info
     h = h + _attn1(
         p["attn1"], L.layer_norm(p["norm1"], h),
         heads=heads, ref_rows=ref_rows, n_shots=n_shots,
-        shot_mask=shot_mask, attn_impl=attn_impl,
+        shot_mask=shot_mask, attn_impl=attn_impl, sup_bias=sup_bias,
     )
     h = h + _attn2(p["attn2"], L.layer_norm(p["norm2"], h), ctx, heads=heads)
     h = h + L.geglu_ff(p["ff"], L.layer_norm(p["norm3"], h))
@@ -145,6 +145,7 @@ def forward(
     ref_sample: Optional[jax.Array] = None,
     ref_context: Optional[jax.Array] = None,
     shot_mask: Optional[jax.Array] = None,
+    ref_mask: Optional[jax.Array] = None,
     attn_impl: str = "xla",
     remat: bool = False,
 ) -> jax.Array:
@@ -160,6 +161,16 @@ def forward(
         broadcast over shots — the reference repeats the same empty-prompt
         embedding, `marigold_pipeline_rgb_latent_noise.py:694-696`).
       shot_mask: optional (B, N) bool validity mask for padded shots.
+      ref_mask: optional (B, N, Hm, Wm) binary support masks — enables the
+        experimental ATTN-MASK conditioning variant
+        (`diffews/models/unet_2d_condition_attn.py` +
+        `attention_processor_attnmask.py`): `ref_sample` then carries only
+        the 4-channel support RGB latent through the shared `conv_in`, and
+        each self-attention biases the support keys by `(1-mask)*-1e4` with
+        the mask nearest-resized to that level's token grid
+        (`attention_processor_attnmask.py:213-219,243-244`; level scale
+        mapping down[0,1,2]/mid 3/up[2,1,0],
+        `unet_2d_condition_attn.py:645-666`).
       attn_impl: "xla" | "pallas" for the fused self-attention.
       remat: checkpoint each block (training memory saver).
 
@@ -202,12 +213,30 @@ def forward(
     # --- input convs: per-stream, then concat along batch ---
     h_tag = L.conv2d(params["conv_in"], sample)
     if ref_rows:
-        h_ref = L.conv2d(params["conv_in_ref"], ref_flat)
+        if ref_mask is not None:
+            # attn-mask variant: support stream shares the 4-ch conv_in
+            h_ref = L.conv2d(params["conv_in"], ref_flat)
+        else:
+            h_ref = L.conv2d(params["conv_in_ref"], ref_flat)
         h = jnp.concatenate([h_ref, h_tag], axis=0)
     else:
         h = h_tag
 
-    stream_info = (ref_rows, n_shots, shot_mask)
+    # --- attn-mask variant: per-scale support-key biases ---
+    sup_biases = {}
+    if ref_rows and ref_mask is not None:
+        from diffews_tpu.ops.resize import nearest_resize
+
+        s_lat_h, s_lat_w = sample.shape[1], sample.shape[2]
+        flat_mask = ref_mask.reshape((ref_rows,) + ref_mask.shape[2:])
+        for sid in range(cfg.num_levels):
+            gh, gw = s_lat_h // (2**sid), s_lat_w // (2**sid)
+            m = nearest_resize(flat_mask.astype(jnp.float32), (gh, gw))
+            m = m.reshape(b, n_shots * gh * gw)
+            sup_biases[sid] = (1.0 - m) * -10000.0
+
+    def stream_at(sid):
+        return (ref_rows, n_shots, shot_mask, sup_biases.get(sid))
     g, eps = cfg.norm_num_groups, cfg.norm_eps
     n_levels = cfg.num_levels
 
@@ -224,12 +253,13 @@ def forward(
         heads = cfg.num_attention_heads[i]
         for j in range(cfg.layers_per_block):
 
-            def down_layer(h, emb, ctx, blk=blk, j=j, with_attn=with_attn, heads=heads):
+            def down_layer(h, emb, ctx, blk=blk, j=j, with_attn=with_attn,
+                           heads=heads, sid=i):
                 h = resnet(blk["resnets"][str(j)], h, emb)
                 if with_attn:
                     h = _transformer2d(
                         blk["attentions"][str(j)], h, ctx,
-                        heads=heads, cfg=cfg, stream_info=stream_info,
+                        heads=heads, cfg=cfg, stream_info=stream_at(sid),
                         attn_impl=attn_impl,
                     )
                 return h
@@ -247,7 +277,7 @@ def forward(
         h = _transformer2d(
             p["attentions"]["0"], h, ctx,
             heads=cfg.num_attention_heads[-1], cfg=cfg,
-            stream_info=stream_info, attn_impl=attn_impl,
+            stream_info=stream_at(cfg.num_levels - 1), attn_impl=attn_impl,
         )
         h = resnet(p["resnets"]["1"], h, emb)
         return h
@@ -262,13 +292,14 @@ def forward(
         for j in range(cfg.layers_per_block + 1):
             skip = down_states.pop()
 
-            def up_layer(h, skip, emb, ctx, blk=blk, j=j, with_attn=with_attn, heads=heads):
+            def up_layer(h, skip, emb, ctx, blk=blk, j=j, with_attn=with_attn,
+                         heads=heads, sid=n_levels - 1 - i):
                 h = jnp.concatenate([h, skip], axis=-1)
                 h = resnet(blk["resnets"][str(j)], h, emb)
                 if with_attn:
                     h = _transformer2d(
                         blk["attentions"][str(j)], h, ctx,
-                        heads=heads, cfg=cfg, stream_info=stream_info,
+                        heads=heads, cfg=cfg, stream_info=stream_at(sid),
                         attn_impl=attn_impl,
                     )
                 return h

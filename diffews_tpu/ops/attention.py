@@ -59,6 +59,7 @@ def fused_kv_attention(
     v_sup: Optional[jax.Array],
     *,
     shot_mask: Optional[jax.Array] = None,
+    support_bias: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     impl: str = "xla",
 ) -> jax.Array:
@@ -70,6 +71,9 @@ def fused_kv_attention(
         entry per shot), or None for plain self-attention.
       shot_mask: optional (B, N) bool; False marks padded shots whose tokens
         must not be attended to.
+      support_bias: optional (B, N*S_ref) additive bias on support keys only
+        (the attn-mask UNet variant's mask bias,
+        `attention_processor_attnmask.py:213-244`).
       impl: "xla" (dense) or "pallas" (flash kernel; see
         `diffews_tpu.ops.flash_attention`).
 
@@ -86,13 +90,17 @@ def fused_kv_attention(
         # (attention_processor.py:256-258,265-267).
         k = jnp.concatenate([k_own, k_sup.reshape(b, n * s_ref, h, d)], axis=1)
         v = jnp.concatenate([v_own, v_sup.reshape(b, n * s_ref, h, d)], axis=1)
+        sup_bias = None
         if shot_mask is not None:
             token_ok = jnp.repeat(shot_mask, s_ref, axis=1)  # (B, N*S_ref)
-            token_ok = jnp.concatenate(
-                [jnp.ones((b, s), dtype=bool), token_ok], axis=1
-            )  # own tokens always valid
-            bias = jnp.where(token_ok, 0.0, NEG_INF).astype(jnp.float32)
-            bias = bias[:, None, None, :]  # (B, 1, 1, Skv)
+            sup_bias = jnp.where(token_ok, 0.0, NEG_INF).astype(jnp.float32)
+        if support_bias is not None:
+            sb = support_bias.astype(jnp.float32)
+            sup_bias = sb if sup_bias is None else sup_bias + sb
+        if sup_bias is not None:
+            bias = jnp.concatenate(
+                [jnp.zeros((b, s), jnp.float32), sup_bias], axis=1
+            )[:, None, None, :]  # (B, 1, 1, Skv); own tokens unbiased
         else:
             bias = None
 
@@ -103,7 +111,10 @@ def fused_kv_attention(
 
         kv_mask = None
         if bias is not None:
-            kv_mask = bias[:, 0, 0, :] >= 0.0  # (B, Skv) bool
+            # Bias values are 0 / very-negative (shot padding and the 0/-1e4
+            # mask bias both suppress to exp()==0 in fp32), so a boolean
+            # mask is numerically equivalent.
+            kv_mask = bias[:, 0, 0, :] >= -1e3
         return flash_attention(q, k, v, scale=scale, kv_mask=kv_mask)
     else:
         raise ValueError(f"unknown attention impl {impl!r}")
