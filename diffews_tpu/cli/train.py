@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--report_to", type=str, default="none",
                    choices=["none", "tensorboard"])
     p.add_argument("--logging_steps", type=int, default=50)
+    # periodic validation (counterpart of log_validation + eval_results.txt,
+    # `train_icl_*_v3.py:173-326,1436-1441` — enabled here, unlike the
+    # reference where it is mostly commented out)
+    p.add_argument("--validation_steps", type=int, default=0,
+                   help="run val episodes every N steps (0 = off)")
+    p.add_argument("--validation_episodes", type=int, default=50)
     return p
 
 
@@ -195,6 +201,48 @@ def main(argv=None):
 
         writer = SummaryWriter(os.path.join(args.output_dir, "tb"))
 
+    # ---- lazy validation pipeline (shares the frozen VAE/text weights;
+    # UNet params are swapped in from the live train state) ----
+    val_state = {}
+
+    def run_validation(state, step):
+        import jax.numpy as jnp
+
+        from diffews_tpu.evaluation import AverageMeter, Evaluator
+        from diffews_tpu.pipeline import DiffewsPipeline
+
+        if "pipe" not in val_state:
+            val_state["pipe"] = DiffewsPipeline(
+                bundle, compute_dtype=tcfg.compute_dtype, attn_impl=args.attn_impl
+            )
+            val_state["loader"] = FSSDataset.build_dataloader(
+                benchmarks[0], 1, 0, args.fold, "test", min(args.nshot, 5)
+            )
+        pipe = val_state["pipe"]
+        pipe.unet_params = jax.tree_util.tree_map(
+            lambda x: x.astype(tcfg.compute_dtype), state.params
+        )
+        loader = val_state["loader"]
+        meter = AverageMeter(loader.dataset.benchmark, loader.dataset.class_ids)
+        np.random.seed(0)
+        for i, vb in zip(range(args.validation_episodes), loader):
+            smask = np.repeat(vb["support_masks"][:, :, None], 3, axis=2) * 2.0 - 1.0
+            out = pipe.predict(vb["query_img"], vb["support_imgs"], smask,
+                               out_size=tuple(vb["query_img"].shape[-2:]),
+                               r_threshold=0.25)
+            inter, union = Evaluator.classify_prediction(
+                out.mask.astype(np.int64), vb["query_mask"],
+                vb.get("query_ignore_idx"))
+            meter.update(inter, union, vb["class_id"])
+        miou, fb_iou, _ = meter.compute_iou()
+        line = f"step {step}: val mIoU {miou:.2f} FB-IoU {fb_iou:.2f} ({args.validation_episodes} eps)"
+        print(line)
+        with open(os.path.join(args.output_dir, "eval_results.txt"), "a") as f:
+            f.write(line + "\n")
+        if writer:
+            writer.add_scalar("val_miou", miou, step)
+        return miou
+
     batch_sh = mesh_lib.batch_sharding(m)
     key = jax.random.PRNGKey(args.seed or 0)
 
@@ -232,6 +280,9 @@ def main(argv=None):
                   f"loss {loss:.5f} ({rate:.2f} opt-steps/s)")
             if writer:
                 writer.add_scalar("train_loss", loss, global_step)
+
+        if args.validation_steps and global_step % args.validation_steps == 0:
+            run_validation(state, global_step)
 
         if global_step % args.checkpointing_steps == 0:
             path = tck.save_checkpoint(

@@ -48,6 +48,15 @@ class SegOutput:
     uncertainty: Optional[np.ndarray] = None
 
 
+@dataclasses.dataclass
+class DepthOutput:
+    """Counterpart of `MarigoldDepthOutput` (pipeline `:44-63`)."""
+
+    depth_np: np.ndarray  # (B, H, W) float32 in [0, 1]
+    depth_colored: Optional[np.ndarray] = None  # (B, H, W, 3) uint8
+    uncertainty: Optional[np.ndarray] = None
+
+
 def _cast_tree(tree, dtype):
     return jax.tree_util.tree_map(lambda x: x.astype(dtype), tree)
 
@@ -95,6 +104,9 @@ class DiffewsPipeline:
         self._predict_jit = jax.jit(
             self._predict_impl, static_argnames=("denoising_steps",)
         )
+        self._predict_depth_jit = jax.jit(
+            self._predict_depth_impl, static_argnames=("denoising_steps",)
+        )
 
     @classmethod
     def from_pretrained(
@@ -109,7 +121,7 @@ class DiffewsPipeline:
 
     # -- core jitted graph --------------------------------------------------
 
-    def _predict_impl(
+    def _x0_latent(
         self,
         unet_params,
         vae_params,
@@ -120,8 +132,8 @@ class DiffewsPipeline:
         shot_mask: Optional[jax.Array],
         denoising_steps: int,
     ) -> jax.Array:
+        """Predicted x0 latent for the episode (shared by seg/depth heads)."""
         b, n = supports.shape[0], supports.shape[1]
-        hw = supports.shape[2:4]
         dt = self.compute_dtype
 
         # ---- single batched VAE encode for all three streams ----
@@ -154,13 +166,29 @@ class DiffewsPipeline:
                 attn_impl=self.attn_impl,
             )
             latent, x0 = self.scheduler.step(v, int(t), latent)
+        return x0
 
+    def _predict_impl(self, unet_params, vae_params, query, supports, masks,
+                      text_embed, shot_mask, denoising_steps) -> jax.Array:
+        x0 = self._x0_latent(unet_params, vae_params, query, supports, masks,
+                             text_embed, shot_mask, denoising_steps)
         # ---- decode + seg postprocess (pipeline `:784-802,887-905`) ----
         img = vae.decode(vae_params, self.vae_cfg, x0)
         img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
         img = (img * 0.5 + 0.5) * 255.0
         img = jnp.clip(img, 0.0, 255.0).astype(jnp.uint8)
         return img
+
+    def _predict_depth_impl(self, unet_params, vae_params, query, supports,
+                            masks, text_embed, shot_mask, denoising_steps) -> jax.Array:
+        """Depth head: channel-mean of the decoded latent -> clip(-1,1) ->
+        [0,1] (`decode_depth` pipeline `:867-885`, postprocess `:775-781`)."""
+        x0 = self._x0_latent(unet_params, vae_params, query, supports, masks,
+                             text_embed, shot_mask, denoising_steps)
+        img = vae.decode(vae_params, self.vae_cfg, x0)
+        depth = img.astype(jnp.float32).mean(axis=-1)  # (B, H, W)
+        depth = jnp.clip(depth, -1.0, 1.0)
+        return depth * 0.5 + 0.5
 
     # -- public API ---------------------------------------------------------
 
@@ -220,6 +248,50 @@ class DiffewsPipeline:
                 mask = p.mean(axis=-1) > threshold
         return SegOutput(seg_colored=seg, mask=mask)
 
+    def predict_depth(
+        self,
+        query,
+        supports,
+        support_masks,
+        *,
+        shot_mask=None,
+        denoising_steps: int = 1,
+        out_size: Optional[Tuple[int, int]] = None,
+        colorize: bool = True,
+        ensemble: Optional[np.ndarray] = None,
+    ) -> DepthOutput:
+        """Depth-mode prediction (reference pipeline mode='depth'): decoded
+        channel-mean in [0,1], bilinear-resized to the input size
+        (`pipeline:473`), min-max normalized (`:531-537`), optionally
+        colorized (`:553-561`)."""
+        from diffews_tpu.ops.resize import bilinear_resize
+        from diffews_tpu.utils.image import colorize_depth_maps
+
+        query = _to_nhwc(np.asarray(query), 4)
+        supports = _to_nhwc(np.asarray(supports), 5)
+        support_masks = _to_nhwc(np.asarray(support_masks), 5)
+        depth = self._predict_depth_jit(
+            self.unet_params, self.vae_params,
+            jnp.asarray(query), jnp.asarray(supports), jnp.asarray(support_masks),
+            self.empty_text_embed,
+            None if shot_mask is None else jnp.asarray(shot_mask),
+            denoising_steps,
+        )
+        if out_size is not None and tuple(depth.shape[1:3]) != tuple(out_size):
+            depth = bilinear_resize(depth[..., None], tuple(out_size))[..., 0]
+        d = np.asarray(depth, dtype=np.float32)
+        dmin = d.reshape(d.shape[0], -1).min(axis=1)[:, None, None]
+        dmax = d.reshape(d.shape[0], -1).max(axis=1)[:, None, None]
+        d = np.clip((d - dmin) / np.maximum(dmax - dmin, 1e-8), 0, 1)
+        colored = None
+        if colorize:
+            colored = np.stack([
+                (colorize_depth_maps(di, 0, 1)[0].transpose(1, 2, 0) * 255)
+                .astype(np.uint8)
+                for di in d
+            ])
+        return DepthOutput(depth_np=d, depth_colored=colored)
+
     def __call__(
         self,
         input_images,
@@ -241,10 +313,10 @@ class DiffewsPipeline:
         ('semseg') is supported — the reference's depth/sr/normal modes sit
         on the vestigial Marigold path (SURVEY.md §2.2).
         """
-        if mode not in ("seg", "semseg"):
+        if mode not in ("seg", "semseg", "depth"):
             raise NotImplementedError(
-                "DiffewS path is segmentation-only; depth/sr/normal belong to "
-                "the vestigial Marigold pipeline"
+                "supported modes: seg/semseg/depth (sr/normal/feature belong "
+                "to the vestigial Marigold pipeline, SURVEY.md §2.2)"
             )
         sup, qry, msk = (np.asarray(x) for x in input_images)
         b = qry.shape[0]
@@ -252,6 +324,10 @@ class DiffewsPipeline:
         sup = sup.reshape((b, n) + sup.shape[1:])
         msk = msk.reshape((b, n) + msk.shape[1:])
         out_size = tuple(qry.shape[-2:]) if match_input_res else None
+        if mode == "depth":
+            return self.predict_depth(
+                qry, sup, msk, denoising_steps=denoising_steps, out_size=out_size
+            )
         return self.predict(
             qry, sup, msk, denoising_steps=denoising_steps, out_size=out_size
         )

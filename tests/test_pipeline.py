@@ -1,0 +1,94 @@
+"""Pipeline-level tests on tiny configs (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffews_tpu import checkpoint as C
+from diffews_tpu.configs import CLIPTextConfig, SchedulerConfig, UNetConfig, VAEConfig
+from diffews_tpu.models import unet, vae
+from diffews_tpu.pipeline import DiffewsPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
+    bundle = C.PipelineBundle(
+        jax.jit(lambda r: unet.init_params(r, ucfg))(jax.random.PRNGKey(0)), ucfg,
+        jax.jit(lambda r: vae.init_params(r, vcfg))(jax.random.PRNGKey(1)), vcfg,
+        None, CLIPTextConfig.tiny(), SchedulerConfig.diffews(),
+    )
+    return DiffewsPipeline(bundle)
+
+
+def _episode(b=1, n=1, s=32, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.uniform(-1, 1, (b, s, s, 3)).astype(np.float32)
+    sup = rng.uniform(-1, 1, (b, n, s, s, 3)).astype(np.float32)
+    msk = np.where(rng.random((b, n, s, s, 3)) > 0.5, 1.0, -1.0).astype(np.float32)
+    return q, sup, msk
+
+
+class TestSegPredict:
+    def test_output_uint8_and_threshold_semantics(self, pipe):
+        q, sup, msk = _episode()
+        out = pipe.predict(q, sup, msk, r_threshold=0.25)
+        seg = out.seg_colored
+        assert seg.dtype == np.uint8 and seg.shape == (1, 32, 32, 3)
+        # threshold must reproduce: to_tensor(/255) -> mean_RGB > 0.25*max
+        p = seg.astype(np.float32) / 255.0
+        want = p.mean(-1) > p.max() * 0.25
+        np.testing.assert_array_equal(out.mask[0], want[0])
+
+    def test_multi_step_equals_single_step(self, pipe):
+        """Degenerate scheduler: extra denoise steps are no-ops end-to-end
+        (SURVEY.md §3.5) — verified through VAE+UNet+decode."""
+        q, sup, msk = _episode(seed=1)
+        a = pipe.predict(q, sup, msk, denoising_steps=1).seg_colored
+        b = pipe.predict(q, sup, msk, denoising_steps=3).seg_colored
+        np.testing.assert_array_equal(a, b)
+
+    def test_reference_call_contract_nchw(self, pipe):
+        """__call__ takes [support (B*N,3,H,W), query (B,3,H,W), masks] NCHW
+        like the reference harness (`main_oss.py:106-123`)."""
+        q, sup, msk = _episode(b=1, n=2)
+        out = pipe(
+            [np.moveaxis(sup[0], -1, 1), np.moveaxis(q, -1, 1),
+             np.moveaxis(msk[0], -1, 1)],
+            denoising_steps=1, ensemble_size=1, processing_res=32, mode="seg",
+        )
+        assert out.seg_colored.shape == (1, 32, 32, 3)
+
+    def test_out_size_nearest_resize(self, pipe):
+        q, sup, msk = _episode()
+        out = pipe.predict(q, sup, msk, out_size=(48, 48))
+        assert out.seg_colored.shape == (1, 48, 48, 3)
+
+    def test_shot_mask_changes_nothing_when_all_valid(self, pipe):
+        q, sup, msk = _episode(n=2, seed=2)
+        a = pipe.predict(q, sup, msk).seg_colored
+        b = pipe.predict(q, sup, msk, shot_mask=np.ones((1, 2), bool)).seg_colored
+        np.testing.assert_array_equal(a, b)
+
+
+class TestDepthPredict:
+    def test_depth_output(self, pipe):
+        q, sup, msk = _episode(seed=3)
+        out = pipe.predict_depth(q, sup, msk)
+        assert out.depth_np.shape == (1, 32, 32)
+        assert out.depth_np.min() >= 0 and out.depth_np.max() <= 1.0 + 1e-6
+        assert out.depth_colored.shape == (1, 32, 32, 3)
+        assert out.depth_colored.dtype == np.uint8
+
+    def test_depth_mode_via_call(self, pipe):
+        q, sup, msk = _episode(seed=4)
+        out = pipe([np.moveaxis(sup[0], -1, 1), np.moveaxis(q, -1, 1),
+                    np.moveaxis(msk[0], -1, 1)], mode="depth")
+        assert out.depth_np.shape == (1, 32, 32)
+
+    def test_unknown_mode_rejected(self, pipe):
+        q, sup, msk = _episode()
+        with pytest.raises(NotImplementedError):
+            pipe([np.moveaxis(sup[0], -1, 1), np.moveaxis(q, -1, 1),
+                  np.moveaxis(msk[0], -1, 1)], mode="sr")
