@@ -47,6 +47,9 @@ class FSSDataset:
     def build_dataloader(cls, benchmark: str, bsz: int, nworker: int, fold: int,
                          split: str, shot: int = 1) -> EpisodeLoader:
         shuffle = split == "trn"
-        nworker = nworker if split == "trn" else 0
+        # The reference forces nworker=0 for eval to keep the seeded episode
+        # sequence reproducible (`dataset.py:46-47`).  Our threaded loader is
+        # a SINGLE in-order producer, so prefetch preserves the exact RNG
+        # consumption order — eval can overlap host IO with device compute.
         dataset = cls.build_dataset(benchmark, fold, split, shot)
         return EpisodeLoader(dataset, batch_size=bsz, shuffle=shuffle, num_workers=nworker)

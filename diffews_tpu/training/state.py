@@ -56,6 +56,11 @@ class TrainerConfig:
     compute_dtype: Any = jnp.bfloat16
     attn_impl: str = "xla"
     remat: bool = True
+    # Failure containment (no reference equivalent — SURVEY.md §5 lists no
+    # failure detection): wrap the optimizer in optax.apply_if_finite so a
+    # non-finite loss/grad step is skipped instead of poisoning the params;
+    # training aborts only after this many consecutive bad steps.
+    max_nonfinite_steps: int = 10
     # Reference quirk parity: the diffusers-example loop the reference forked
     # calls `lr_scheduler.step()` once per MICRO-batch while counting
     # `max_train_steps` in optimizer steps (`train_icl_*_v3.py:1217-1223,
@@ -78,7 +83,7 @@ def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
     )
     k = cfg.lr_steps_per_opt_step
     schedule = base_schedule if k == 1 else (lambda step: base_schedule(step * k))
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(
             schedule,
@@ -88,6 +93,9 @@ def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
             weight_decay=cfg.adam_weight_decay,
         ),
     )
+    if cfg.max_nonfinite_steps > 0:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=cfg.max_nonfinite_steps)
+    return tx
 
 
 def init_state(cfg: TrainerConfig, unet_params: dict) -> TrainState:

@@ -160,3 +160,22 @@ def test_polynomial_schedule_values():
     assert abs(float(sched(1000)) - 1e-7) < 1e-10
     mid = float(sched(55))
     assert 1e-7 < mid < 1e-5
+
+
+def test_nonfinite_step_skipped(setup):
+    """A poisoned (NaN) batch must not corrupt params (apply_if_finite)."""
+    ucfg, vcfg, up, vp, text = setup
+    cfg = TrainerConfig(gradient_accumulation_steps=1, compute_dtype=jnp.float32,
+                        remat=False)
+    state = init_state(cfg, up)
+    step = jax.jit(make_train_step(cfg, ucfg, vcfg, vp, text))
+    bad = _batch(gas=1)
+    bad["query"] = np.full_like(np.asarray(bad["query"]), np.nan)
+    p0 = np.asarray(state.params["conv_in"]["kernel"]).copy()
+    state, m = step(state, bad, jax.random.PRNGKey(0))
+    assert not np.isfinite(float(m["loss"]))
+    np.testing.assert_array_equal(np.asarray(state.params["conv_in"]["kernel"]), p0)
+    # recovery: a clean batch still trains
+    state, m2 = step(state, _batch(gas=1, seed=9), jax.random.PRNGKey(1))
+    assert np.isfinite(float(m2["loss"]))
+    assert not np.allclose(np.asarray(state.params["conv_in"]["kernel"]), p0)
