@@ -33,27 +33,32 @@ def main():
     from __graft_entry__ import entry
 
     fn, args = entry()
-    jfn = jax.jit(fn)
+    # Honest sync on the axon tunnel: block_until_ready can return before
+    # remote execution finishes; a host read of a scalar reduction cannot.
+    jfn = jax.jit(lambda *a: fn(*a).astype(jnp.int32).sum())
     unet_params, vae_params = args[0], args[1]
 
     def run(batch):
-        rng = np.random.default_rng(0)
         b, n, s = batch, 1, 512
         dt = jnp.bfloat16
-        q = jnp.asarray(rng.uniform(-1, 1, (b, s, s, 3)), dt)
-        sup = jnp.asarray(rng.uniform(-1, 1, (b, n, s, s, 3)), dt)
-        msk = jnp.asarray(rng.uniform(-1, 1, (b, n, s, s, 3)), dt)
-        ctx = jnp.asarray(rng.normal(size=(b, 2, 1024)), dt)
-        out = jfn(unet_params, vae_params, q, sup, msk, ctx)
-        out.block_until_ready()  # compile + warm
-        # timed steady-state
-        iters = max(4, int(16 / batch))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = jfn(unet_params, vae_params, q, sup, msk, ctx)
-        out.block_until_ready()
-        dt_s = (time.perf_counter() - t0) / iters
-        return batch / dt_s
+
+        def mk(seed):
+            rng = np.random.default_rng(seed)
+            return (
+                jnp.asarray(rng.uniform(-1, 1, (b, s, s, 3)), dt),
+                jnp.asarray(rng.uniform(-1, 1, (b, n, s, s, 3)), dt),
+                jnp.asarray(rng.uniform(-1, 1, (b, n, s, s, 3)), dt),
+                jnp.asarray(rng.normal(size=(b, 2, 1024)), dt),
+            )
+
+        int(jfn(unet_params, vae_params, *mk(0)))  # compile + warm
+        times = []
+        for i in range(3):
+            inp = mk(i + 1)
+            t0 = time.perf_counter()
+            int(jfn(unet_params, vae_params, *inp))
+            times.append(time.perf_counter() - t0)
+        return batch / min(times)
 
     best_qps, best_bs = 0.0, 1
     for bs in (1, 4, 8):
