@@ -1,0 +1,98 @@
+"""End-to-end CLI smoke tests on synthetic data and tiny checkpoints."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from diffews_tpu import checkpoint as C
+from diffews_tpu.configs import CLIPTextConfig, SchedulerConfig, UNetConfig, VAEConfig
+from diffews_tpu.models import clip_text, unet, vae
+from helpers import synthetic_data as syn
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    ucfg, vcfg, tcfg = UNetConfig.tiny(), VAEConfig.tiny(), CLIPTextConfig.tiny()
+    ck = root / "ckpt"
+    C.save_unet(jax.jit(lambda r: unet.init_params(r, ucfg))(jax.random.PRNGKey(0)),
+                ucfg, str(ck / "unet"))
+    C.save_vae(jax.jit(lambda r: vae.init_params(r, vcfg))(jax.random.PRNGKey(1)),
+               vcfg, str(ck / "vae"))
+    tp = clip_text.init_params(jax.random.PRNGKey(2), tcfg)
+    state = {"text_model." + k: v
+             for k, v in C.pytree_to_torch_state(tp).items()}
+    C.save_torch_weights(state, str(ck / "text_encoder"), C.TEXT_SAFETENSORS)
+    with open(ck / "text_encoder" / "config.json", "w") as f:
+        json.dump({"vocab_size": 1000, "hidden_size": 32,
+                   "intermediate_size": 64, "num_hidden_layers": 2,
+                   "num_attention_heads": 4}, f)
+    (ck / "scheduler").mkdir()
+    with open(ck / "scheduler" / "scheduler_config.json", "w") as f:
+        json.dump(SchedulerConfig.diffews().to_diffusers_dict(), f)
+    syn.make_coco(str(root / "data"))
+    return root
+
+
+def test_evaluate_cli_end_to_end(workdir):
+    from diffews_tpu.cli.evaluate import main
+
+    miou, fb_iou = main([
+        "--checkpoint", str(workdir / "ckpt"),
+        "--datapath", str(workdir / "data"),
+        "--benchmark", "coco", "--fold", "0", "--nshot", "1",
+        "--img-size", "32", "--denoise_steps", "1", "--ensemble_size", "1",
+        "--threshold", "0", "--r_threshold", "0.25",
+        "--log-root", str(workdir / "logs"),
+        "--max_episodes", "2",
+    ])
+    assert np.isfinite(miou) and np.isfinite(fb_iou)
+    # eval log dir with log.txt exists
+    logdirs = [d for d in os.listdir(workdir / "logs") if d.startswith("_TEST_coco_")]
+    assert logdirs
+    assert os.path.exists(workdir / "logs" / logdirs[0] / "log.txt")
+
+
+def test_launcher_dry_run(workdir, capsys):
+    from diffews_tpu.cli.launcher import main
+
+    main([
+        "--checkpoints", "ckA", "ckB",
+        "--base_checkpoint", str(workdir / "ckpt"),
+        "--folds", "0", "1",
+        "--dry_run",
+    ])
+    out = capsys.readouterr().out
+    assert out.count("diffews_tpu.cli.evaluate") == 4
+    assert "--fold 1" in out
+
+
+def test_launcher_slurm_emission(workdir, tmp_path):
+    from diffews_tpu.cli.launcher import main
+
+    main([
+        "--checkpoints", "ckA",
+        "--base_checkpoint", str(workdir / "ckpt"),
+        "--folds", "0",
+        "--mode", "slurm", "--slurm_dir", str(tmp_path / "jobs"),
+    ])
+    files = os.listdir(tmp_path / "jobs")
+    assert len(files) == 1
+    body = open(tmp_path / "jobs" / files[0]).read()
+    assert "#SBATCH" in body and "diffews_tpu.cli.evaluate" in body
+
+
+def test_surgery_cli(workdir, tmp_path):
+    from diffews_tpu.cli.surgery import main
+
+    # build a vanilla checkpoint without conv_in_ref
+    params, ucfg = C.load_unet(str(workdir / "ckpt" / "unet"))
+    vanilla = {k: v for k, v in params.items() if k != "conv_in_ref"}
+    src = tmp_path / "sd"
+    C.save_unet(vanilla, ucfg, str(src / "unet"))
+    main([str(src), str(tmp_path / "sd-ref8")])
+    p2, cfg2 = C.load_unet(str(tmp_path / "sd-ref8" / "unet"))
+    assert "conv_in_ref" in p2 and cfg2.ref_in_channels == 8
