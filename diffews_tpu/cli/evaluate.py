@@ -106,7 +106,10 @@ def evaluate(args) -> tuple[float, float]:
             batch["support_imgs"],
             smask,
             denoising_steps=args.denoise_steps,
-            out_size=tuple(batch["query_img"].shape[-2:]),
+            # prediction is compared against query_mask: same-size resize is a
+            # no-op in the standard protocol; with --use_original_imgsize the
+            # gt keeps its native size and the prediction must match it
+            out_size=tuple(np.asarray(batch["query_mask"]).shape[-2:]),
             r_threshold=args.r_threshold,
             threshold=args.threshold if args.r_threshold <= 0 else 0.0,
         )

@@ -160,10 +160,13 @@ def main(argv=None):
         params=mesh_lib.shard_params(state.params, m, args.num_model_shards > 1)
     )
     step_fn = jax.jit(
-        make_train_step(tcfg, bundle.unet_cfg, bundle.vae_cfg, bundle.vae_params,
-                        text_embed),
+        make_train_step(tcfg, bundle.unet_cfg, bundle.vae_cfg),
         donate_argnums=(0,),
     )
+    vae_p = jax.tree_util.tree_map(
+        lambda x: x.astype(tcfg.compute_dtype), bundle.vae_params
+    )
+    text_e = jnp.asarray(text_embed)
 
     # ---- resume ----
     global_step = 0
@@ -269,7 +272,7 @@ def main(argv=None):
             for k, v in batch.items()
         }
         key, sub = jax.random.split(key)
-        state, metrics = step_fn(state, batch, sub)
+        state, metrics = step_fn(state, batch, sub, vae_p, text_e)
         global_step += 1
 
         if global_step % args.logging_steps == 0 or global_step == 1:

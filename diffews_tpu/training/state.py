@@ -109,10 +109,13 @@ def make_train_step(
     cfg: TrainerConfig,
     unet_cfg: UNetConfig,
     vae_cfg: VAEConfig,
-    vae_params: dict,
-    text_embed: jax.Array,  # (1, 77, D), frozen
 ):
-    """Returns `step_fn(state, batch, rng) -> (state, metrics)` (pure, jittable).
+    """Returns `step_fn(state, batch, rng, vae_p, text_e) -> (state, metrics)`.
+
+    The frozen VAE params (`vae_p`, cast to the compute dtype) and text
+    embedding (`text_e`, (1,77,D)) are jit ARGUMENTS — closing over them
+    would inline gigabytes of weights into the HLO as constants and blow up
+    compilation at SD-2.1 scale.
 
     `batch` fields, each with leading (gas, B) axes:
       query:    (G, B, H, W, 3) in [-1, 1]
@@ -123,9 +126,8 @@ def make_train_step(
     """
     tx = make_optimizer(cfg)
     dt = cfg.compute_dtype
-    vae_params_c = jax.tree_util.tree_map(lambda x: x.astype(dt), vae_params)
 
-    def loss_fn(params, micro, rng):
+    def loss_fn(params, vae_params_c, text_embed, micro, rng):
         q, qm3, sup, sm3, shot_mask = (
             micro["query"], micro["q_mask3"], micro["supports"],
             micro["s_mask3"], micro["shot_mask"],
@@ -161,13 +163,14 @@ def make_train_step(
         target = -qm_lat
         return jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
 
-    def step_fn(state: TrainState, batch, rng) -> Tuple[TrainState, dict]:
+    def step_fn(state: TrainState, batch, rng, vae_p, text_e) -> Tuple[TrainState, dict]:
         gas = batch["query"].shape[0]
         rngs = jax.random.split(rng, gas)
 
         def micro_step(carry, inp):
             micro, r = inp
-            loss, grads = jax.value_and_grad(loss_fn)(state.params, micro, r)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, vae_p, text_e, micro, r)
             acc_loss, acc_grads = carry
             acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
             return (acc_loss + loss, acc_grads), None

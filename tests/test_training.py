@@ -45,10 +45,10 @@ class TestTrainStep:
         cfg = TrainerConfig(max_train_steps=10, gradient_accumulation_steps=2,
                             compute_dtype=jnp.float32, remat=False)
         state = init_state(cfg, up)
-        step = jax.jit(make_train_step(cfg, ucfg, vcfg, vp, text))
+        step = jax.jit(make_train_step(cfg, ucfg, vcfg))
         p0 = np.asarray(state.params["conv_in"]["kernel"]).copy()
-        state, m1 = step(state, _batch(), jax.random.PRNGKey(0))
-        state, m2 = step(state, _batch(seed=1), jax.random.PRNGKey(1))
+        state, m1 = step(state, _batch(), jax.random.PRNGKey(0), vp, text)
+        state, m2 = step(state, _batch(seed=1), jax.random.PRNGKey(1), vp, text)
         assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
         assert int(state.step) == 2
         assert not np.allclose(np.asarray(state.params["conv_in"]["kernel"]), p0)
@@ -60,8 +60,8 @@ class TestTrainStep:
         cfg = TrainerConfig(use_ema=True, gradient_accumulation_steps=1,
                             compute_dtype=jnp.float32, remat=False)
         state = init_state(cfg, up)
-        step = jax.jit(make_train_step(cfg, ucfg, vcfg, vp, text))
-        state, _ = step(state, _batch(gas=1), jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(cfg, ucfg, vcfg))
+        state, _ = step(state, _batch(gas=1), jax.random.PRNGKey(0), vp, text)
         assert state.ema is not None and int(state.ema.step) == 1
         # early decay is small => EMA close to new params, not old
         d_new = float(jnp.abs(state.ema.params["conv_in"]["kernel"]
@@ -73,8 +73,8 @@ class TestTrainStep:
         cfg = TrainerConfig(gradient_accumulation_steps=1,
                             compute_dtype=jnp.float32, remat=False)
         state = init_state(cfg, up)
-        step = jax.jit(make_train_step(cfg, ucfg, vcfg, vp, text))
-        state, _ = step(state, _batch(gas=1), jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(cfg, ucfg, vcfg))
+        state, _ = step(state, _batch(gas=1), jax.random.PRNGKey(0), vp, text)
 
         out = str(tmp_path)
         tck.save_checkpoint(out, 1, state, ucfg)
@@ -96,7 +96,7 @@ class TestTrainStep:
                                    np.asarray(mu_b).ravel()[:5], rtol=1e-6)
 
         # resumed training continues
-        restored, m = step(restored, _batch(gas=1, seed=3), jax.random.PRNGKey(3))
+        restored, m = step(restored, _batch(gas=1, seed=3), jax.random.PRNGKey(3), vp, text)
         assert int(restored.step) == 2
 
     def test_checkpoint_rotation(self, setup, tmp_path):
@@ -122,13 +122,13 @@ class TestDataParallel:
         m = mesh_lib.make_mesh(n_data=8, n_model=1)
         state = init_state(cfg, up)
         state_sharded = state._replace(params=mesh_lib.shard_params(state.params, m))
-        step = jax.jit(make_train_step(cfg, ucfg, vcfg, vp, text))
+        step = jax.jit(make_train_step(cfg, ucfg, vcfg))
 
         batch = _batch(gas=1, b=8)
         sharded = {k: jax.device_put(v, NamedSharding(m, P(None, "data")))
                    for k, v in batch.items()}
-        s1, m1 = step(state_sharded, sharded, jax.random.PRNGKey(0))
-        s2, m2 = step(state, batch, jax.random.PRNGKey(0))
+        s1, m1 = step(state_sharded, sharded, jax.random.PRNGKey(0), vp, text)
+        s2, m2 = step(state, batch, jax.random.PRNGKey(0), vp, text)
         np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                    rtol=1e-4)
         np.testing.assert_allclose(
@@ -168,14 +168,14 @@ def test_nonfinite_step_skipped(setup):
     cfg = TrainerConfig(gradient_accumulation_steps=1, compute_dtype=jnp.float32,
                         remat=False)
     state = init_state(cfg, up)
-    step = jax.jit(make_train_step(cfg, ucfg, vcfg, vp, text))
+    step = jax.jit(make_train_step(cfg, ucfg, vcfg))
     bad = _batch(gas=1)
     bad["query"] = np.full_like(np.asarray(bad["query"]), np.nan)
     p0 = np.asarray(state.params["conv_in"]["kernel"]).copy()
-    state, m = step(state, bad, jax.random.PRNGKey(0))
+    state, m = step(state, bad, jax.random.PRNGKey(0), vp, text)
     assert not np.isfinite(float(m["loss"]))
     np.testing.assert_array_equal(np.asarray(state.params["conv_in"]["kernel"]), p0)
     # recovery: a clean batch still trains
-    state, m2 = step(state, _batch(gas=1, seed=9), jax.random.PRNGKey(1))
+    state, m2 = step(state, _batch(gas=1, seed=9), jax.random.PRNGKey(1), vp, text)
     assert np.isfinite(float(m2["loss"]))
     assert not np.allclose(np.asarray(state.params["conv_in"]["kernel"]), p0)
