@@ -131,3 +131,99 @@ def make_lvis(root: str, n_classes: int = 12, imgs_per_class: int = 4, seed: int
         with open(os.path.join(base, f"lvis_{split}.pkl"), "wb") as f:
             pickle.dump(anno, f)
     return root
+
+
+def make_paco(root: str, n_classes: int = 448, imgs_per_class: int = 3, seed: int = 0):
+    """PACO-Part tree: coco images + paco pkls (cid2img / img2anno)."""
+    from diffews_tpu.data.masks import rle_encode
+
+    rng = np.random.default_rng(seed)
+    base = os.path.join(root, "PACO-Part")
+    img_root = os.path.join(base, "coco")
+    # images are shared between splits; categories interleave like the real
+    # metadata (cid order defines fold membership: fold + 4*v)
+    for split in ("train", "val"):
+        cid2img, img2anno = {}, {}
+        for c in range(n_classes):
+            imgs = []
+            for i in range(imgs_per_class):
+                img_id = c * 1000 + i
+                name = f"{split}2017/{c:03d}_{i:04d}.jpg"
+                path = os.path.join(img_root, name)
+                if not os.path.exists(path):
+                    _save_rgb(path, rng)
+                imgs.append({img_id: f"xx/{name}"})
+                m = np.zeros((30, 40), np.uint8)
+                m[4:20, 6:30] = 1
+                img2anno[img_id] = [{
+                    "category_id": c,
+                    "obj_ann_id": img_id * 10,
+                    "obj_bbox": [2, 2, 30, 25],  # xywh
+                    "segmentation": rle_encode(m),
+                }]
+            cid2img[c] = imgs
+        os.makedirs(os.path.join(base, "paco"), exist_ok=True)
+        with open(os.path.join(base, "paco", f"paco_part_{split}.pkl"), "wb") as f:
+            pickle.dump({"cid2img": cid2img, "img2anno": img2anno}, f)
+    return root
+
+
+def make_pascal_part(root: str, imgs_per_pair: int = 3, seed: int = 0):
+    """Pascal-Part tree: VOC2010 images, per-image part-annotation jsons and
+    the all_obj_part_to_image.json index."""
+    from diffews_tpu.data.masks import rle_encode
+
+    rng = np.random.default_rng(seed)
+    base = os.path.join(root, "Pascal-Part", "VOCdevkit", "VOC2010")
+    anno_dir = os.path.join(base, "Annotations_Part_json_merged_part_classes")
+    os.makedirs(anno_dir, exist_ok=True)
+    index = {}
+    img_counter = [0]
+
+    def mk_image(obj, part, split):
+        img_id = f"2010_{img_counter[0]:06d}"
+        img_counter[0] += 1
+        _save_rgb(os.path.join(base, "JPEGImages", img_id + ".jpg"), rng)
+        m = np.zeros((30, 40), np.uint8)
+        m[6:18, 8:28] = 1
+        rle = rle_encode(m)
+        rle["counts"] = rle["counts"].decode("ascii")
+        with open(os.path.join(anno_dir, img_id + ".json"), "w") as f:
+            json.dump({
+                "object": [{
+                    "name": obj,
+                    "bndbox": {"xmin": 2, "ymin": 2, "xmax": 36, "ymax": 26},
+                    "parts": [{"name": part, "mask": [rle]}],
+                }]
+            }, f)
+        return img_id
+
+    for cat, pairs in {
+        "animals": [("dog", "HEAD"), ("cat", "TORSO")],
+        "indoor": [("chair", "SEAT")],
+        "person": [("person", "HEAD")],
+        "vehicles": [("car", "WHEEL")],
+    }.items():
+        objs = {}
+        for obj, part in pairs:
+            entry = {"train": [], "val": []}
+            for split in ("train", "val"):
+                for _ in range(imgs_per_pair):
+                    entry[split].append(mk_image(obj, part, split))
+            objs.setdefault(obj, {"part": {}})["part"][part] = entry
+        index[cat] = {"object": objs}
+    with open(os.path.join(base, "all_obj_part_to_image.json"), "w") as f:
+        json.dump(index, f)
+    return root
+
+
+def make_pascal_cd(root: str, seed: int = 0):
+    """PASCAL-CD extras on top of make_pascal: cd_folds.pth/class_names.pth."""
+    import torch
+
+    make_pascal(root, seed=seed)
+    base = os.path.join(root, "VOC2012")
+    cd_folds = {f: [f * 5 + i + 1 for i in range(5)] for f in range(4)}  # 1-based
+    torch.save(cd_folds, os.path.join(base, "cd_folds.pth"))
+    torch.save([str(c) for c in range(20)], os.path.join(base, "class_names.pth"))
+    return root

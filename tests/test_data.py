@@ -215,3 +215,37 @@ class TestLoader:
         np.random.seed(0)
         thr = [b["query_name"][0] for _, b in zip(range(6), EpisodeLoader(ds, 1, num_workers=2))]
         assert seq == thr
+
+
+class TestPartBenchmarks:
+    def test_paco_part_episode(self, tmp_path):
+        syn.make_paco(str(tmp_path), n_classes=448, imgs_per_class=3)
+        FSSDataset.initialize(32, str(tmp_path))
+        np.random.seed(0)
+        ds = FSSDataset.build_dataset("paco_part", fold=0, split="test", shot=1)
+        assert len(ds) == 2500
+        ep = ds[0]
+        assert ep["query_img"].shape == (3, 32, 32)
+        assert ep["query_mask"].max() == 1.0  # box-crop retains part pixels
+        assert ep["class_id"] in ds.class_ids
+
+    def test_pascal_part_episode(self, tmp_path):
+        syn.make_pascal_part(str(tmp_path))
+        FSSDataset.initialize(32, str(tmp_path))
+        np.random.seed(0)
+        ds = FSSDataset.build_dataset("pascal_part", fold=0, split="test", shot=1)
+        assert ds.nclass == 2  # animals: dog+HEAD, cat+TORSO
+        ep = ds[0]
+        assert ep["query_mask"].shape == (32, 32)
+        assert ep["query_mask"].max() == 1.0
+        assert ep["category"] in ("dog+HEAD", "cat+TORSO")
+
+    def test_pascal_cd_episode(self, tmp_path):
+        syn.make_pascal_cd(str(tmp_path))
+        FSSDataset.initialize(32, str(tmp_path))
+        np.random.seed(0)
+        ds = FSSDataset.build_dataset("pascal_cd", fold=1, split="test", shot=1)
+        # CD val aggregates all fold files but keeps only fold-1 classes
+        assert ds.class_ids == [5, 6, 7, 8, 9]
+        ep = ds[0]
+        assert ep["class_id"] in ds.class_ids
