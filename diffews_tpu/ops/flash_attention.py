@@ -60,7 +60,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale                                  # (bq, bk)
     if mask_ref is not None:
-        valid = mask_ref[0] > 0                # (bk,)
+        valid = mask_ref[0, :, 0] > 0          # (bk,)
         s = s + jnp.where(valid, 0.0, NEG_INF)[None, :]
 
     m_prev = m_scr[:, :1]                      # (bq, 1)
@@ -82,7 +82,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     def _finalize():
         l = l_scr[:, :1]
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
-        lse_ref[0] = (m_scr[:, 0] + jnp.log(l_scr[:, 0]))
+        # lse carried as (bq, 1): TPU block shapes need the trailing dims
+        # either tile-aligned or equal to the full array dims
+        lse_ref[0] = m_scr[:, :1] + jnp.log(l_scr[:, :1])
 
 
 def _flash_forward(q, k, v, kv_mask, scale, block_q, block_k, interpret):
@@ -100,8 +102,8 @@ def _flash_forward(q, k, v, kv_mask, scale, block_q, block_k, interpret):
     ]
     args = [q, k, v]
     if kv_mask is not None:
-        in_specs.append(pl.BlockSpec((1, bk), lambda i, qi, ki: (i, ki)))
-        args.append(kv_mask)
+        in_specs.append(pl.BlockSpec((1, bk, 1), lambda i, qi, ki: (i, ki, 0)))
+        args.append(kv_mask[..., None])
         kernel = functools.partial(_flash_kernel, scale=scale, kv_blocks=kv_blocks)
     else:
         kernel = functools.partial(
@@ -117,11 +119,11 @@ def _flash_forward(q, k, v, kv_mask, scale, block_q, block_k, interpret):
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, bq, d), lambda i, qi, ki: (i, qi, 0)),
-            pl.BlockSpec((1, bq), lambda i, qi, ki: (i, qi)),
+            pl.BlockSpec((1, bq, 1), lambda i, qi, ki: (i, qi, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, sq), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sq, 1), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -133,7 +135,7 @@ def _flash_forward(q, k, v, kv_mask, scale, block_q, block_k, interpret):
         ),
         interpret=interpret,
     )(*args)
-    return out, lse
+    return out, lse[..., 0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
