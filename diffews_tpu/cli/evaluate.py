@@ -57,7 +57,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bfloat16 compute (TPU-native half precision)")
     p.add_argument("--ensemble_size", type=int, default=1)
     p.add_argument("--test_timestep", type=int, default=1)
-    p.add_argument("--attn_impl", type=str, default="xla", choices=["xla", "pallas"])
+    p.add_argument("--attn_impl", type=str, default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--max_episodes", type=int, default=0,
                    help="cap episode count (0 = full protocol)")
     return p

@@ -64,7 +64,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--mixed_precision", type=str, default="bf16",
                    choices=["no", "bf16"])
-    p.add_argument("--attn_impl", type=str, default="xla", choices=["xla", "pallas"])
+    p.add_argument("--attn_impl", type=str, default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--no_remat", action="store_true")
     # parallelism
     p.add_argument("--num_data_shards", type=int, default=0,

@@ -104,6 +104,8 @@ def fused_kv_attention(
         else:
             bias = None
 
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "xla":
         return dense_attention(q, k, v, scale=scale, kv_bias=bias)
     elif impl == "pallas":

@@ -67,7 +67,8 @@ class DiffewsPipeline:
     Args:
       bundle: `checkpoint.PipelineBundle` with params/configs.
       compute_dtype: jnp.float32 (parity) or jnp.bfloat16 (TPU speed).
-      attn_impl: "xla" or "pallas" fused self-attention.
+      attn_impl: "auto" (pallas flash kernel on TPU, dense XLA elsewhere),
+        "xla", or "pallas".
       test_timestep: timestep multiplier (`main_oss.py --test_timestep`).
     """
 
@@ -76,7 +77,7 @@ class DiffewsPipeline:
         bundle: ckpt_lib.PipelineBundle,
         *,
         compute_dtype=jnp.float32,
-        attn_impl: str = "xla",
+        attn_impl: str = "auto",
         test_timestep: int = 1,
     ):
         self.unet_cfg: UNetConfig = bundle.unet_cfg

@@ -54,7 +54,7 @@ class TrainerConfig:
     max_nshot: int = 1
     use_ema: bool = False
     compute_dtype: Any = jnp.bfloat16
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     remat: bool = True
     # Failure containment (no reference equivalent — SURVEY.md §5 lists no
     # failure detection): wrap the optimizer in optax.apply_if_finite so a
