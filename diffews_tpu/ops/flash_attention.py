@@ -60,8 +60,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale                                  # (bq, bk)
     if mask_ref is not None:
-        valid = mask_ref[0, :, 0] > 0          # (bk,)
-        s = s + jnp.where(valid, 0.0, NEG_INF)[None, :]
+        # mask arrives as (1, bk) int8; arithmetic bias avoids Mosaic's
+        # unsupported 1-D i1 vector relayouts
+        s = s + (1.0 - mask_ref[0].astype(jnp.float32)) * NEG_INF
 
     m_prev = m_scr[:, :1]                      # (bq, 1)
     l_prev = l_scr[:, :1]
@@ -102,8 +103,8 @@ def _flash_forward(q, k, v, kv_mask, scale, block_q, block_k, interpret):
     ]
     args = [q, k, v]
     if kv_mask is not None:
-        in_specs.append(pl.BlockSpec((1, bk, 1), lambda i, qi, ki: (i, ki, 0)))
-        args.append(kv_mask[..., None])
+        in_specs.append(pl.BlockSpec((1, 1, bk), lambda i, qi, ki: (i, 0, ki)))
+        args.append(kv_mask[:, None, :])
         kernel = functools.partial(_flash_kernel, scale=scale, kv_blocks=kv_blocks)
     else:
         kernel = functools.partial(

@@ -1,0 +1,66 @@
+"""Full-size (SD-2.1, 512px) training-step smoke on one TPU chip.
+
+Validates the jitted train step (fwd+bwd with remat, bf16 compute, fp32
+master+Adam) fits HBM and measures step time at b1/gas1, 1-shot — the
+reference's canonical single-GPU configuration
+(`scripts/train_cocofold0_*.sh`: bs1 gas4 on a 24GB 4090).
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from diffews_tpu.configs import UNetConfig, VAEConfig
+from diffews_tpu.models import unet, vae
+from diffews_tpu.training.state import TrainerConfig, init_state, make_train_step
+
+
+def main():
+    ucfg, vcfg = UNetConfig.sd21(), VAEConfig.sd()
+    up = jax.jit(lambda r: unet.init_params(r, ucfg))(jax.random.PRNGKey(0))
+    vp = jax.jit(lambda r: vae.init_params(r, vcfg))(jax.random.PRNGKey(1))
+    cfg = TrainerConfig(gradient_accumulation_steps=1, max_nshot=1,
+                        compute_dtype=jnp.bfloat16, remat=True)
+    state = init_state(cfg, up)
+    vp16 = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), vp)
+    text = jnp.zeros((1, 77, ucfg.cross_attention_dim), jnp.bfloat16)
+    step = jax.jit(make_train_step(cfg, ucfg, vcfg), donate_argnums=(0,))
+    print("built", flush=True)
+
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        f = lambda *sh: r.uniform(-1, 1, sh).astype(np.float32)
+        return {
+            "query": f(1, 1, 512, 512, 3),
+            "q_mask3": f(1, 1, 512, 512, 3),
+            "supports": f(1, 1, 1, 512, 512, 3),
+            "s_mask3": f(1, 1, 1, 512, 512, 3),
+            "shot_mask": np.ones((1, 1, 1), bool),
+        }
+
+    t0 = time.time()
+    state, m = step(state, mk(0), jax.random.PRNGKey(0), vp16, text)
+    print(f"compile+first: {time.time() - t0:.1f}s loss={float(m['loss']):.4f}",
+          flush=True)
+    ts = []
+    for i in range(3):
+        batch = mk(i + 1)
+        t0 = time.perf_counter()
+        state, m = step(state, batch, jax.random.PRNGKey(i + 1), vp16, text)
+        loss = float(m["loss"])  # host read = honest sync
+        ts.append(time.perf_counter() - t0)
+        print(f"step: {ts[-1] * 1e3:.0f} ms loss={loss:.4f}", flush=True)
+    stats = jax.devices()[0].memory_stats() or {}
+    used = stats.get("bytes_in_use", 0) / (1 << 30)
+    print(f"steady step: {min(ts) * 1e3:.0f} ms ({1 / min(ts):.2f} steps/s), "
+          f"HBM in use {used:.1f} GiB", flush=True)
+
+
+if __name__ == "__main__":
+    main()
