@@ -54,6 +54,11 @@ class TrainerConfig:
     max_nshot: int = 1
     use_ema: bool = False
     compute_dtype: Any = jnp.bfloat16
+    # Adam first-moment storage dtype.  bf16 halves the momentum footprint
+    # (-1.73 GB at SD-2.1 scale — the margin that lets 512px training fit a
+    # 16 GB v5e chip; momentum is insensitive to the mantissa loss).  Set to
+    # jnp.float32 for bit-level optimizer parity with the reference.
+    adam_mu_dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
     remat: bool = True
     # Failure containment (no reference equivalent — SURVEY.md §5 lists no
@@ -91,6 +96,7 @@ def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
             b2=cfg.adam_beta2,
             eps=cfg.adam_epsilon,
             weight_decay=cfg.adam_weight_decay,
+            mu_dtype=cfg.adam_mu_dtype,
         ),
     )
     if cfg.max_nonfinite_steps > 0:
@@ -167,22 +173,31 @@ def make_train_step(
         gas = batch["query"].shape[0]
         rngs = jax.random.split(rng, gas)
 
-        def micro_step(carry, inp):
-            micro, r = inp
+        if gas == 1:
+            # no accumulator tree: saves a full fp32 grad-sized buffer
+            # (3.5 GB at SD-2.1 scale — the difference between fitting and
+            # OOMing 512px training on a 16 GB chip)
+            micro = jax.tree_util.tree_map(lambda x: x[0], batch)
             loss, grads = jax.value_and_grad(loss_fn)(
-                state.params, vae_p, text_e, micro, r)
-            acc_loss, acc_grads = carry
-            acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
-            return (acc_loss + loss, acc_grads), None
+                state.params, vae_p, text_e, micro, rngs[0]
+            )
+        else:
+            def micro_step(carry, inp):
+                micro, r = inp
+                l, grads = jax.value_and_grad(loss_fn)(
+                    state.params, vae_p, text_e, micro, r)
+                acc_loss, acc_grads = carry
+                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+                return (acc_loss + l, acc_grads), None
 
-        zero_grads = jax.tree_util.tree_map(
-            lambda p: jnp.zeros_like(p, dtype=jnp.float32), state.params
-        )
-        (loss_sum, grads), _ = jax.lax.scan(
-            micro_step, (jnp.zeros((), jnp.float32), zero_grads), (batch, rngs)
-        )
-        grads = jax.tree_util.tree_map(lambda g: g / gas, grads)
-        loss = loss_sum / gas
+            zero_grads = jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p, dtype=jnp.float32), state.params
+            )
+            (loss_sum, grads), _ = jax.lax.scan(
+                micro_step, (jnp.zeros((), jnp.float32), zero_grads), (batch, rngs)
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / gas, grads)
+            loss = loss_sum / gas
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
