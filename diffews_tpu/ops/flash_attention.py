@@ -139,6 +139,168 @@ def _flash_forward(q, k, v, kv_mask, scale, block_q, block_k, interpret):
     return out, lse[..., 0]
 
 
+
+
+# ---------------------------------------------------------------------------
+# backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, mask_ref,
+                   dq_ref, dq_scr, *, scale, kv_blocks):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]          # (1, bq)
+    delta = delta_ref[0]      # (1, bq)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if mask_ref is not None:
+        s = s + (1.0 - mask_ref[0].astype(jnp.float32)) * NEG_INF
+    p = jnp.exp(s - lse.T)                       # (bq, bk)
+    dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta.T)
+    dq_scr[:] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) * scale
+
+    @pl.when(j == kv_blocks - 1)
+    def _done():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, mask_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr, *, scale, q_blocks):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]          # (1, bq)
+    delta = delta_ref[0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if mask_ref is not None:
+        s = s + (1.0 - mask_ref[0].astype(jnp.float32)) * NEG_INF
+    p = jnp.exp(s - lse.T)                       # (bq, bk)
+    dv_scr[:] += jax.lax.dot_general(p, g, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta.T)
+    dk_scr[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) * scale
+
+    @pl.when(j == q_blocks - 1)
+    def _done():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, kv_mask, out, lse, g, scale, block_q, block_k,
+                    interpret):
+    """Flash-attention backward: returns (dq, dk, dv)."""
+    bh, sq, d = q.shape
+    skv = k.shape[1]
+    bq = _pick_block(sq, block_q)
+    bk = _pick_block(skv, block_k)
+    kv_blocks, q_blocks = skv // bk, sq // bq
+
+    delta = jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)
+    lse3 = lse[:, None, :]       # (BH, 1, Sq)
+    delta3 = delta[:, None, :]
+
+    common_in = [q, k, v, g, lse3, delta3]
+    mask3 = None if kv_mask is None else kv_mask[:, None, :]
+
+    # --- dq: parallel over q blocks, reduce over kv blocks ---
+    dq_specs = [
+        pl.BlockSpec((1, bq, d), lambda i, qi, ki: (i, qi, 0)),   # q
+        pl.BlockSpec((1, bk, d), lambda i, qi, ki: (i, ki, 0)),   # k
+        pl.BlockSpec((1, bk, d), lambda i, qi, ki: (i, ki, 0)),   # v
+        pl.BlockSpec((1, bq, d), lambda i, qi, ki: (i, qi, 0)),   # g
+        pl.BlockSpec((1, 1, bq), lambda i, qi, ki: (i, 0, qi)),   # lse
+        pl.BlockSpec((1, 1, bq), lambda i, qi, ki: (i, 0, qi)),   # delta
+    ]
+    args = list(common_in)
+    if mask3 is not None:
+        dq_specs.append(pl.BlockSpec((1, 1, bk), lambda i, qi, ki: (i, 0, ki)))
+        args.append(mask3)
+        dq_kernel = functools.partial(_bwd_dq_kernel, scale=scale,
+                                      kv_blocks=kv_blocks)
+    else:
+        dq_kernel = functools.partial(
+            lambda qr, kr, vr, gr, lr, dr, o, s, **kw: _bwd_dq_kernel(
+                qr, kr, vr, gr, lr, dr, None, o, s, **kw),
+            scale=scale, kv_blocks=kv_blocks)
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(bh, q_blocks, kv_blocks),
+        in_specs=dq_specs,
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, qi, ki: (i, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(*args)
+
+    # --- dk/dv: parallel over kv blocks, reduce over q blocks ---
+    dkv_specs = [
+        pl.BlockSpec((1, bq, d), lambda i, ki, qi: (i, qi, 0)),   # q
+        pl.BlockSpec((1, bk, d), lambda i, ki, qi: (i, ki, 0)),   # k
+        pl.BlockSpec((1, bk, d), lambda i, ki, qi: (i, ki, 0)),   # v
+        pl.BlockSpec((1, bq, d), lambda i, ki, qi: (i, qi, 0)),   # g
+        pl.BlockSpec((1, 1, bq), lambda i, ki, qi: (i, 0, qi)),   # lse
+        pl.BlockSpec((1, 1, bq), lambda i, ki, qi: (i, 0, qi)),   # delta
+    ]
+    args = list(common_in)
+    if mask3 is not None:
+        dkv_specs.append(pl.BlockSpec((1, 1, bk), lambda i, ki, qi: (i, 0, ki)))
+        args.append(mask3)
+        dkv_kernel = functools.partial(_bwd_dkv_kernel, scale=scale,
+                                       q_blocks=q_blocks)
+    else:
+        dkv_kernel = functools.partial(
+            lambda qr, kr, vr, gr, lr, dr, ok, ov, sk, sv, **kw: _bwd_dkv_kernel(
+                qr, kr, vr, gr, lr, dr, None, ok, ov, sk, sv, **kw),
+            scale=scale, q_blocks=q_blocks)
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(bh, kv_blocks, q_blocks),
+        in_specs=dkv_specs,
+        out_specs=(
+            pl.BlockSpec((1, bk, d), lambda i, ki, qi: (i, ki, 0)),
+            pl.BlockSpec((1, bk, d), lambda i, ki, qi: (i, ki, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, skv, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, skv, d), v.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((bk, d), jnp.float32),
+                        pltpu.VMEM((bk, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(*args)
+    return dq, dk, dv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash(q, k, v, scale, block_sizes, interpret):
     out, _ = _flash_forward(q, k, v, None, scale, *block_sizes, interpret)
@@ -152,16 +314,8 @@ def _flash_fwd(q, k, v, scale, block_sizes, interpret):
 
 def _flash_bwd(scale, block_sizes, interpret, res, g):
     q, k, v, out, lse = res
-    qf, kf, vf, of, gf = (t.astype(jnp.float32) for t in (q, k, v, out, g))
-    s = jnp.einsum("bqd,bkd->bqk", qf, kf) * scale
-    p = jnp.exp(s - lse[:, :, None])
-    dv = jnp.einsum("bqk,bqd->bkd", p, gf)
-    dp = jnp.einsum("bqd,bkd->bqk", gf, vf)
-    delta = jnp.sum(of * gf, axis=-1, keepdims=True)
-    ds = p * (dp - delta)
-    dq = jnp.einsum("bqk,bkd->bqd", ds, kf) * scale
-    dk = jnp.einsum("bqk,bqd->bkd", ds, qf) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    return _flash_backward(q, k, v, None, out, lse, g, scale, *block_sizes,
+                           interpret)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -180,17 +334,9 @@ def _flash_masked_fwd(q, k, v, kv_mask, scale, block_sizes, interpret):
 
 def _flash_masked_bwd(scale, block_sizes, interpret, res, g):
     q, k, v, kv_mask, out, lse = res
-    qf, kf, vf, of, gf = (t.astype(jnp.float32) for t in (q, k, v, out, g))
-    s = jnp.einsum("bqd,bkd->bqk", qf, kf) * scale
-    s = s + jnp.where(kv_mask > 0, 0.0, NEG_INF)[:, None, :]
-    p = jnp.exp(s - lse[:, :, None])
-    dv = jnp.einsum("bqk,bqd->bkd", p, gf)
-    dp = jnp.einsum("bqd,bkd->bqk", gf, vf)
-    delta = jnp.sum(of * gf, axis=-1, keepdims=True)
-    ds = p * (dp - delta)
-    dq = jnp.einsum("bqk,bkd->bqd", ds, kf) * scale
-    dk = jnp.einsum("bqk,bqd->bkd", ds, qf) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
+    dq, dk, dv = _flash_backward(q, k, v, kv_mask, out, lse, g, scale,
+                                 *block_sizes, interpret)
+    return dq, dk, dv, None
 
 
 _flash_masked.defvjp(_flash_masked_fwd, _flash_masked_bwd)

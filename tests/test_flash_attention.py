@@ -80,3 +80,25 @@ def test_bf16_inputs():
                            v.astype(jnp.float32))
     np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
                                np.asarray(want), rtol=3e-2, atol=3e-2)
+
+
+def test_masked_grad_matches_dense():
+    b, sq, skv, h, d = 1, 64, 128, 1, 64
+    q = _rand(b, sq, h, d, seed=20)
+    k = _rand(b, skv, h, d, seed=21)
+    v = _rand(b, skv, h, d, seed=22)
+    mask = jnp.asarray(np.random.default_rng(23).random((b, skv)) > 0.4)
+    bias = jnp.where(mask, 0.0, -1e9)[:, None, None, :]
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, kv_mask=mask,
+                                       block_q=64, block_k=64) ** 2)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(dense_attention(q, k, v, kv_bias=bias) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-3)
