@@ -96,3 +96,23 @@ def test_surgery_cli(workdir, tmp_path):
     main([str(src), str(tmp_path / "sd-ref8")])
     p2, cfg2 = C.load_unet(str(tmp_path / "sd-ref8" / "unet"))
     assert "conv_in_ref" in p2 and cfg2.ref_in_channels == 8
+
+
+def test_batched_eval_reproduces_bsz1_metrics(workdir):
+    """--bsz N draws the identical seeded episode stream (sequential
+    __getitem__ order) and per-episode thresholds, so the mIoU must match
+    the bsz=1 protocol exactly — batching is a pure throughput lever."""
+    from diffews_tpu.cli.evaluate import main
+
+    common = [
+        "--checkpoint", str(workdir / "ckpt"),
+        "--datapath", str(workdir / "data"),
+        "--benchmark", "coco", "--fold", "0", "--nshot", "1",
+        "--img-size", "32", "--denoise_steps", "1", "--ensemble_size", "1",
+        "--threshold", "0", "--r_threshold", "0.25",
+        "--log-root", str(workdir / "logs_b"),
+    ]
+    m1, f1 = main(common + ["--bsz", "1", "--max_episodes", "4"])
+    m2, f2 = main(common + ["--bsz", "2", "--max_episodes", "2"])
+    assert abs(m1 - m2) < 1e-9
+    assert abs(f1 - f2) < 1e-9
