@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attn_impl", type=str, default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--max_episodes", type=int, default=0,
                    help="cap episode count (0 = full protocol)")
+    p.add_argument("--dispatch_ahead", type=int, default=2,
+                   help="episodes kept in flight on the device; host metric "
+                        "work overlaps device compute (1 = synchronous)")
     return p
 
 
@@ -94,6 +97,26 @@ def evaluate(args) -> tuple[float, float]:
     n_total = len(loader)
     t0 = time.time()
     n_done = 0
+    depth = max(1, args.dispatch_ahead)
+    in_flight: list = []  # [(idx, batch, PendingSeg)]
+
+    def drain_one():
+        nonlocal n_done
+        idx, batch, pending = in_flight.pop(0)
+        pred = pending.result().mask.astype(np.int64)
+        inter, union = Evaluator.classify_prediction(
+            pred, batch["query_mask"], batch.get("query_ignore_idx")
+        )
+        meter.update(inter, union, batch["class_id"])
+        meter.write_process(idx, n_total, epoch=-1, write_batch_idx=50)
+        n_done += pred.shape[0]
+        if Visualizer.visualize:
+            iou = inter[1] / np.maximum(union[1], 1)
+            Visualizer.visualize_prediction_batch(
+                batch["support_imgs"], batch["support_masks"], batch["query_img"],
+                batch["query_mask"], pred, batch["class_id"], idx, iou,
+            )
+
     for idx, batch in enumerate(loader):
         if args.max_episodes and idx >= args.max_episodes:
             break
@@ -101,7 +124,9 @@ def evaluate(args) -> tuple[float, float]:
         # (main_oss.py:100-104)
         smask = np.repeat(batch["support_masks"][:, :, None], 3, axis=2) * 2.0 - 1.0
 
-        out = pipe.predict(
+        # Dispatch ahead: the device computes episode i while the host scores
+        # episode i-1 (JAX async dispatch; numerics unchanged).
+        in_flight.append((idx, batch, pipe.predict_async(
             batch["query_img"],
             batch["support_imgs"],
             smask,
@@ -112,22 +137,11 @@ def evaluate(args) -> tuple[float, float]:
             out_size=tuple(np.asarray(batch["query_mask"]).shape[-2:]),
             r_threshold=args.r_threshold,
             threshold=args.threshold if args.r_threshold <= 0 else 0.0,
-        )
-        pred = out.mask.astype(np.int64)
-
-        inter, union = Evaluator.classify_prediction(
-            pred, batch["query_mask"], batch.get("query_ignore_idx")
-        )
-        meter.update(inter, union, batch["class_id"])
-        meter.write_process(idx, n_total, epoch=-1, write_batch_idx=50)
-        n_done += pred.shape[0]
-
-        if Visualizer.visualize:
-            iou = inter[1] / np.maximum(union[1], 1)
-            Visualizer.visualize_prediction_batch(
-                batch["support_imgs"], batch["support_masks"], batch["query_img"],
-                batch["query_mask"], pred, batch["class_id"], idx, iou,
-            )
+        )))
+        if len(in_flight) >= depth:
+            drain_one()
+    while in_flight:
+        drain_one()
 
     dt = time.time() - t0
     miou, fb_iou = meter.write_result("Test", 0)

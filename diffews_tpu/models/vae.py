@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from diffews_tpu.configs import VAEConfig
 from diffews_tpu.models import layers as L
-from diffews_tpu.ops.attention import dense_attention
+from diffews_tpu.ops.attention import fused_kv_attention
 from diffews_tpu.utils import init as I
 
 EPS = 1e-6  # VAE GroupNorm epsilon (diffusers AutoencoderKL default)
@@ -35,8 +35,13 @@ EPS = 1e-6  # VAE GroupNorm epsilon (diffusers AutoencoderKL default)
 # ---------------------------------------------------------------------------
 
 
-def _mid_attention(p, x: jax.Array, groups: int) -> jax.Array:
-    """Single-head full-channel attention over spatial tokens (VAE mid block)."""
+def _mid_attention(p, x: jax.Array, groups: int, attn_impl: str) -> jax.Array:
+    """Single-head full-channel attention over spatial tokens (VAE mid block).
+
+    At 512px this is 4096 tokens x 512 channels: the dense form materializes
+    a (B, 4096, 4096) fp32 probability tensor in HBM (67 MB per image), so on
+    TPU it routes through the Pallas flash kernel like the UNet attention.
+    """
     b, h, w, c = x.shape
     residual = x
     y = L.group_norm(p["group_norm"], x, groups=groups, eps=EPS)
@@ -44,19 +49,20 @@ def _mid_attention(p, x: jax.Array, groups: int) -> jax.Array:
     q = L.linear(p["to_q"], y)[:, :, None, :]  # 1 head
     k = L.linear(p["to_k"], y)[:, :, None, :]
     v = L.linear(p["to_v"], y)[:, :, None, :]
-    o = dense_attention(q, k, v)[:, :, 0, :]
+    o = fused_kv_attention(q, k, v, None, None, impl=attn_impl)[:, :, 0, :]
     o = L.linear(p["to_out"]["0"], o)
     return o.reshape(b, h, w, c) + residual
 
 
-def _mid_block(p, x: jax.Array, groups: int) -> jax.Array:
+def _mid_block(p, x: jax.Array, groups: int, attn_impl: str) -> jax.Array:
     x = L.resnet_block(p["resnets"]["0"], x, None, groups=groups, eps=EPS)
-    x = _mid_attention(p["attentions"]["0"], x, groups)
+    x = _mid_attention(p["attentions"]["0"], x, groups, attn_impl)
     x = L.resnet_block(p["resnets"]["1"], x, None, groups=groups, eps=EPS)
     return x
 
 
-def encode_moments(params, cfg: VAEConfig, x: jax.Array) -> jax.Array:
+def encode_moments(params, cfg: VAEConfig, x: jax.Array,
+                   attn_impl: str = "auto") -> jax.Array:
     """NHWC image in [-1,1] -> (B, H/8, W/8, 2*latent) moments."""
     p = params["encoder"]
     g = cfg.norm_num_groups
@@ -68,23 +74,25 @@ def encode_moments(params, cfg: VAEConfig, x: jax.Array) -> jax.Array:
             h = L.resnet_block(blk["resnets"][str(j)], h, None, groups=g, eps=EPS)
         if i < n - 1:
             h = L.downsample2d(blk["downsamplers"]["0"], h, asymmetric_pad=True)
-    h = _mid_block(p["mid_block"], h, g)
+    h = _mid_block(p["mid_block"], h, g, attn_impl)
     h = L.group_norm(p["conv_norm_out"], h, groups=g, eps=EPS)
     h = L.silu(h)
     h = L.conv2d(p["conv_out"], h)
     return L.conv2d(params["quant_conv"], h, padding=0)
 
 
-def encode_mean_latent(params, cfg: VAEConfig, x: jax.Array) -> jax.Array:
+def encode_mean_latent(params, cfg: VAEConfig, x: jax.Array,
+                       attn_impl: str = "auto") -> jax.Array:
     """Deterministic latent: posterior mean x scaling_factor (eval path)."""
-    moments = encode_moments(params, cfg, x)
+    moments = encode_moments(params, cfg, x, attn_impl)
     mean = moments[..., : cfg.latent_channels]
     return mean * cfg.scaling_factor
 
 
-def sample_latent(params, cfg: VAEConfig, x: jax.Array, rng: jax.Array) -> jax.Array:
+def sample_latent(params, cfg: VAEConfig, x: jax.Array, rng: jax.Array,
+                  attn_impl: str = "auto") -> jax.Array:
     """Reparametrized posterior sample x scaling_factor (train path)."""
-    moments = encode_moments(params, cfg, x)
+    moments = encode_moments(params, cfg, x, attn_impl)
     mean, logvar = jnp.split(moments, 2, axis=-1)
     logvar = jnp.clip(logvar, -30.0, 20.0)
     std = jnp.exp(0.5 * logvar)
@@ -92,14 +100,15 @@ def sample_latent(params, cfg: VAEConfig, x: jax.Array, rng: jax.Array) -> jax.A
     return (mean + std * noise) * cfg.scaling_factor
 
 
-def decode(params, cfg: VAEConfig, z: jax.Array) -> jax.Array:
+def decode(params, cfg: VAEConfig, z: jax.Array,
+           attn_impl: str = "auto") -> jax.Array:
     """Scaled latent -> NHWC image (unclipped; pipeline clips to [-1,1])."""
     z = z / cfg.scaling_factor
     z = L.conv2d(params["post_quant_conv"], z, padding=0)
     p = params["decoder"]
     g = cfg.norm_num_groups
     h = L.conv2d(p["conv_in"], z)
-    h = _mid_block(p["mid_block"], h, g)
+    h = _mid_block(p["mid_block"], h, g, attn_impl)
     n = len(cfg.block_out_channels)
     for i in range(n):
         blk = p["up_blocks"][str(i)]

@@ -15,9 +15,10 @@ Design notes:
   - optional `kv_mask` (B, Skv) adds -inf bias for padded n-shot support
     tokens (same semantics as the dense path's shot masking);
   - fp32 accumulation; bf16/f32 inputs;
-  - `custom_vjp`: backward recomputes probabilities from the saved
-    log-sum-exp with plain XLA einsums (training defaults to the XLA path +
-    remat; a Pallas backward is a further optimization);
+  - `custom_vjp`: two Pallas backward kernels recompute probabilities from
+    the saved log-sum-exp (no probability tensor in HBM in either direction)
+    — a dq pass (parallel over q blocks, reduction over kv blocks) and a
+    dk/dv pass (parallel over kv blocks, reduction over q blocks);
   - non-TPU backends run the kernel in interpreter mode (tests).
 """
 

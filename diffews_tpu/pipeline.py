@@ -146,7 +146,8 @@ class DiffewsPipeline:
             ],
             axis=0,
         )
-        lat = vae.encode_mean_latent(vae_params, self.vae_cfg, all_imgs)
+        lat = vae.encode_mean_latent(vae_params, self.vae_cfg, all_imgs,
+                                     attn_impl=self.attn_impl)
         lh, lw = lat.shape[1:3]
         q_lat = lat[:b]
         s_lat = lat[b : b + b * n].reshape(b, n, lh, lw, -1)
@@ -174,7 +175,7 @@ class DiffewsPipeline:
         x0 = self._x0_latent(unet_params, vae_params, query, supports, masks,
                              text_embed, shot_mask, denoising_steps)
         # ---- decode + seg postprocess (pipeline `:784-802,887-905`) ----
-        img = vae.decode(vae_params, self.vae_cfg, x0)
+        img = vae.decode(vae_params, self.vae_cfg, x0, attn_impl=self.attn_impl)
         img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
         img = (img * 0.5 + 0.5) * 255.0
         img = jnp.clip(img, 0.0, 255.0).astype(jnp.uint8)
@@ -186,14 +187,14 @@ class DiffewsPipeline:
         [0,1] (`decode_depth` pipeline `:867-885`, postprocess `:775-781`)."""
         x0 = self._x0_latent(unet_params, vae_params, query, supports, masks,
                              text_embed, shot_mask, denoising_steps)
-        img = vae.decode(vae_params, self.vae_cfg, x0)
+        img = vae.decode(vae_params, self.vae_cfg, x0, attn_impl=self.attn_impl)
         depth = img.astype(jnp.float32).mean(axis=-1)  # (B, H, W)
         depth = jnp.clip(depth, -1.0, 1.0)
         return depth * 0.5 + 0.5
 
     # -- public API ---------------------------------------------------------
 
-    def predict(
+    def predict_async(
         self,
         query,
         supports,
@@ -204,17 +205,15 @@ class DiffewsPipeline:
         out_size: Optional[Tuple[int, int]] = None,
         r_threshold: float = 0.0,
         threshold: float = 0.0,
-    ) -> SegOutput:
-        """Predict segmentation for a batch of episodes.
+    ) -> "PendingSeg":
+        """Dispatch an episode without waiting for the device.
 
-        Args (NHWC; NCHW inputs are auto-transposed):
-          query: (B, H, W, 3) in [-1, 1].
-          supports/support_masks: (B, N, H, W, 3) in [-1, 1].
-          out_size: target (H, W) of the prediction (the reference
-            nearest-resizes to the query input size, pipeline `:473-474`).
-          r_threshold: relative threshold — mask = mean_RGB > r * max
-            (`main_oss.py:131-137`).
-          threshold: absolute threshold on mean_RGB in [0,1].
+        Returns a `PendingSeg`; call `.result()` for the `SegOutput`.  JAX
+        dispatch is asynchronous, so the caller can enqueue the next episode
+        (or do host-side metric work) while the device computes — the eval
+        harness uses this to hide the host<->device latency behind compute.
+        Numerics are identical to `predict` (same program, same uint8
+        round-trip; only the synchronization point moves).
         """
         query = _to_nhwc(np.asarray(query), 4)
         supports = _to_nhwc(np.asarray(supports), 5)
@@ -233,21 +232,21 @@ class DiffewsPipeline:
 
         if out_size is not None and tuple(img.shape[1:3]) != tuple(out_size):
             img = nearest_resize(img, tuple(out_size))
+        return PendingSeg(img, r_threshold, threshold)
 
-        seg = np.asarray(img)
-        mask = None
-        if r_threshold > 0 or threshold > 0:
-            # PIL round-trip: to_tensor divides the uint8 image by 255
-            # (main_oss.py:128-130).
-            p = seg.astype(np.float32) / 255.0
-            if r_threshold > 0:
-                # reference uses a global max over the (bsz=1) tensor
-                # (`main_oss.py:131-134`); per-episode max generalizes to B>1
-                thr = p.reshape(p.shape[0], -1).max(axis=1) * r_threshold
-                mask = p.mean(axis=-1) > thr[:, None, None]
-            else:
-                mask = p.mean(axis=-1) > threshold
-        return SegOutput(seg_colored=seg, mask=mask)
+    def predict(self, *args, **kw) -> SegOutput:
+        """Predict segmentation for a batch of episodes (blocking).
+
+        Args (NHWC; NCHW inputs are auto-transposed):
+          query: (B, H, W, 3) in [-1, 1].
+          supports/support_masks: (B, N, H, W, 3) in [-1, 1].
+          out_size: target (H, W) of the prediction (the reference
+            nearest-resizes to the query input size, pipeline `:473-474`).
+          r_threshold: relative threshold — mask = mean_RGB > r * max
+            (`main_oss.py:131-137`).
+          threshold: absolute threshold on mean_RGB in [0,1].
+        """
+        return self.predict_async(*args, **kw).result()
 
     def predict_depth(
         self,
@@ -332,6 +331,31 @@ class DiffewsPipeline:
         return self.predict(
             qry, sup, msk, denoising_steps=denoising_steps, out_size=out_size
         )
+
+
+class PendingSeg:
+    """In-flight segmentation prediction (device array + threshold params)."""
+
+    def __init__(self, img_device: jax.Array, r_threshold: float, threshold: float):
+        self._img = img_device
+        self._r_threshold = r_threshold
+        self._threshold = threshold
+
+    def result(self) -> SegOutput:
+        seg = np.asarray(self._img)  # host transfer = the only sync point
+        mask = None
+        if self._r_threshold > 0 or self._threshold > 0:
+            # PIL round-trip: to_tensor divides the uint8 image by 255
+            # (main_oss.py:128-130).
+            p = seg.astype(np.float32) / 255.0
+            if self._r_threshold > 0:
+                # reference uses a global max over the (bsz=1) tensor
+                # (`main_oss.py:131-134`); per-episode max generalizes to B>1
+                thr = p.reshape(p.shape[0], -1).max(axis=1) * self._r_threshold
+                mask = p.mean(axis=-1) > thr[:, None, None]
+            else:
+                mask = p.mean(axis=-1) > self._threshold
+        return SegOutput(seg_colored=seg, mask=mask)
 
 
 def _to_nhwc(x: np.ndarray, ndim: int) -> np.ndarray:

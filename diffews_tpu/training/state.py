@@ -150,7 +150,8 @@ def make_train_step(
         )
         # Frozen VAE: stochastic posterior sample (train path, `:1347-1358`).
         lat = jax.lax.stop_gradient(
-            vae.sample_latent(vae_params_c, vae_cfg, flat, rng)
+            vae.sample_latent(vae_params_c, vae_cfg, flat, rng,
+                              attn_impl=cfg.attn_impl)
         )
         lh, lw = lat.shape[1:3]
         q_lat = lat[:b]

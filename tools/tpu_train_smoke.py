@@ -21,12 +21,13 @@ from diffews_tpu.models import unet, vae
 from diffews_tpu.training.state import TrainerConfig, init_state, make_train_step
 
 
-def main():
+def main(attn_impl="auto", reps=6):
     ucfg, vcfg = UNetConfig.sd21(), VAEConfig.sd()
     up = jax.jit(lambda r: unet.init_params(r, ucfg))(jax.random.PRNGKey(0))
     vp = jax.jit(lambda r: vae.init_params(r, vcfg))(jax.random.PRNGKey(1))
     cfg = TrainerConfig(gradient_accumulation_steps=1, max_nshot=1,
-                        compute_dtype=jnp.bfloat16, remat=True)
+                        compute_dtype=jnp.bfloat16, remat=True,
+                        attn_impl=attn_impl)
     state = init_state(cfg, up)
     vp16 = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), vp)
     text = jnp.zeros((1, 77, ucfg.cross_attention_dim), jnp.bfloat16)
@@ -49,7 +50,7 @@ def main():
     print(f"compile+first: {time.time() - t0:.1f}s loss={float(m['loss']):.4f}",
           flush=True)
     ts = []
-    for i in range(3):
+    for i in range(reps):
         batch = mk(i + 1)
         t0 = time.perf_counter()
         state, m = step(state, batch, jax.random.PRNGKey(i + 1), vp16, text)
@@ -63,4 +64,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(attn_impl=sys.argv[1] if len(sys.argv) > 1 else "auto",
+         reps=int(sys.argv[2]) if len(sys.argv) > 2 else 6)
