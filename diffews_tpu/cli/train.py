@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
     # parallelism
     p.add_argument("--num_data_shards", type=int, default=0,
                    help="data-parallel mesh size (0 = all devices)")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (multi-host pod training); "
+                        "train_batch_size is the GLOBAL batch, split evenly "
+                        "across processes")
     p.add_argument("--num_model_shards", type=int, default=1,
                    help="tensor-parallel mesh size")
     # checkpointing / logging
@@ -117,10 +121,20 @@ def main(argv=None):
     from diffews_tpu.training import checkpoints as tck
     from diffews_tpu.training.state import TrainerConfig, init_state, make_train_step
 
+    # ---- multi-host bootstrap (before any device use) ----
+    proc_idx, proc_cnt = mesh_lib.maybe_initialize_distributed(args.multihost)
+    is_main = proc_idx == 0
+    if args.train_batch_size % proc_cnt:
+        raise SystemExit(f"train_batch_size {args.train_batch_size} not divisible "
+                         f"by process count {proc_cnt}")
+    local_bs = args.train_batch_size // proc_cnt
+
     if args.seed is not None:
-        random.seed(args.seed)
-        np.random.seed(args.seed)
-    shot_rng = random.Random(args.seed if args.seed is not None else 0)
+        # per-process seed offset: each host samples its own episodes (the
+        # DDP-sampler equivalent); shot subsets likewise decorrelate
+        random.seed(args.seed + proc_idx)
+        np.random.seed(args.seed + proc_idx)
+    shot_rng = random.Random((args.seed if args.seed is not None else 0) + proc_idx)
 
     # ---- models ----
     bundle = ckpt_lib.load_pipeline_bundle(
@@ -185,7 +199,7 @@ def main(argv=None):
     benchmarks = [b.strip() for b in args.benchmark.split(",") if b.strip()]
     loaders = [
         FSSDataset.build_dataloader(
-            b, args.train_batch_size, args.dataloader_num_workers,
+            b, local_bs, args.dataloader_num_workers,
             args.fold, "trn", args.nshot,
         )
         for b in benchmarks
@@ -265,17 +279,14 @@ def main(argv=None):
             "s_mask3": np.stack([mb[3] for mb in micro]),
             "shot_mask": np.stack([mb[4] for mb in micro]),
         }
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
 
-        batch = {
-            k: jax.device_put(v, NamedSharding(m, P(None, "data")))
-            for k, v in batch.items()
-        }
+        batch = mesh_lib.put_global_batch(batch, m, P(None, "data"))
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, batch, sub, vae_p, text_e)
         global_step += 1
 
-        if global_step % args.logging_steps == 0 or global_step == 1:
+        if (global_step % args.logging_steps == 0 or global_step == 1) and is_main:
             loss = float(metrics["loss"])
             losses.append(loss)
             rate = global_step / (time.time() - t0)
@@ -284,18 +295,20 @@ def main(argv=None):
             if writer:
                 writer.add_scalar("train_loss", loss, global_step)
 
-        if args.validation_steps and global_step % args.validation_steps == 0:
+        if args.validation_steps and global_step % args.validation_steps == 0 \
+                and is_main:
             run_validation(state, global_step)
 
-        if global_step % args.checkpointing_steps == 0:
+        if global_step % args.checkpointing_steps == 0 and is_main:
             path = tck.save_checkpoint(
                 args.output_dir, global_step, state, bundle.unet_cfg,
                 args.checkpoints_total_limit,
             )
             print(f"saved {path}")
 
-    tck.save_checkpoint(args.output_dir, global_step, state, bundle.unet_cfg,
-                        args.checkpoints_total_limit)
+    if is_main:
+        tck.save_checkpoint(args.output_dir, global_step, state, bundle.unet_cfg,
+                            args.checkpoints_total_limit)
     if writer:
         writer.close()
     print("training done")

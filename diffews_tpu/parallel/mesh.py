@@ -24,6 +24,44 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed(force: bool = False) -> tuple[int, int]:
+    """Multi-host bootstrap (TPU-native counterpart of the process-group init
+    HF Accelerate performs under `accelerate launch`, SURVEY.md §2.3).
+
+    Calls `jax.distributed.initialize()` when `force` or when coordinator
+    environment variables are present (`JAX_COORDINATOR_ADDRESS`, or the TPU
+    pod runtime's auto-detected env).  A no-op on a single host.  Returns
+    (process_index, process_count); after it, `jax.devices()` is the GLOBAL
+    device list and `make_mesh` builds a pod-wide mesh whose collectives ride
+    ICI/DCN.
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return jax.process_index(), jax.process_count()
+    if force or os.environ.get("JAX_COORDINATOR_ADDRESS") \
+            or os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+    return jax.process_index(), jax.process_count()
+
+
+def put_global_batch(batch: dict, mesh: Mesh, spec: P) -> dict:
+    """Place host batches onto the mesh, multi-host aware.
+
+    Single-process: plain `device_put`.  Multi-host: each process passes its
+    LOCAL shard (the episodes it sampled) and the result is a global array
+    sharded per `spec` — the jit'd step then runs SPMD with no further
+    plumbing (the DDP-equivalent: per-process data, psum'd grads).
+    """
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    return {
+        k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+        for k, v in batch.items()
+    }
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
