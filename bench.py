@@ -52,13 +52,20 @@ def main():
             )
 
         int(jfn(unet_params, vae_params, *mk(0)))  # compile + warm
-        times = []
-        for i in range(3):
-            inp = mk(i + 1)
-            t0 = time.perf_counter()
-            int(jfn(unet_params, vae_params, *inp))
-            times.append(time.perf_counter() - t0)
-        return batch / min(times)
+        # Steady-state throughput: dispatch K batches back-to-back and sync
+        # once (the eval harness pipelines the same way via predict_async).
+        # Device execution is in-order, so reading the last result bounds
+        # the whole chain; the ~25 ms tunnel round-trip is paid once, not K
+        # times.
+        k_batches = 4
+        inputs = [mk(i + 1) for i in range(k_batches)]
+        t0 = time.perf_counter()
+        outs = [jfn(unet_params, vae_params, *inp) for inp in inputs]
+        int(outs[-1])  # host read = honest sync of the full chain
+        dt_chain = time.perf_counter() - t0
+        for o in outs[:-1]:
+            int(o)  # already done; no extra device work
+        return batch * k_batches / dt_chain
 
     # b8 is the measured sweet spot on v5e (b16 saturates HBM bandwidth:
     # 9.7 q/s vs 10.2 q/s at b8); a single batch size keeps driver runs fast.

@@ -22,6 +22,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Params = dict
 
@@ -60,13 +61,18 @@ def group_norm(p: Params, x: jax.Array, *, groups: int, eps: float) -> jax.Array
     end-to-end on the VAE encoder (54% of encode time was GroupNorm).
     """
     b, c = x.shape[0], x.shape[-1]
-    flat = x.reshape(b, -1, c)
-    n = flat.shape[1] * (c // groups)
+    spatial_axes = tuple(range(1, x.ndim - 1))
+    n = int(np.prod([x.shape[a] for a in spatial_axes])) * (c // groups)
 
-    xf = flat.astype(jnp.float32)
-    s1 = jnp.sum(xf, axis=1)                 # (B, C)
-    s2 = jnp.sum(jnp.square(xf), axis=1)     # (B, C) — fused with s1 by XLA
-    s1g = s1.reshape(b, groups, -1).sum(-1)  # (B, G)
+    # Reduce over the NATIVE (B, ..., C) axes — reshaping to (B, -1, C) first
+    # forces a layout change against the conv's spatially-partitioned layout
+    # and XLA materializes full-tensor fp32 layout-conversion copies (measured
+    # 2.7x on the VAE resnet block).  The f32 convert/square fuse into the
+    # reduces; nothing fp32 hits HBM.
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=spatial_axes)              # (B, C)
+    s2 = jnp.sum(jnp.square(xf), axis=spatial_axes)  # (B, C)
+    s1g = s1.reshape(b, groups, -1).sum(-1)          # (B, G)
     s2g = s2.reshape(b, groups, -1).sum(-1)
     mean = s1g / n
     var = s2g / n - jnp.square(mean)
@@ -143,15 +149,21 @@ def resnet_block(
     groups: int,
     eps: float,
 ) -> jax.Array:
-    """diffusers ResnetBlock2D (default time-scale-shift, output factor 1)."""
-    h = group_norm(p["norm1"], x, groups=groups, eps=eps)
-    h = silu(h)
+    """diffusers ResnetBlock2D (default time-scale-shift, output factor 1).
+
+    GroupNorm+SiLU pairs run as the fused Pallas op on TPU: XLA entangles
+    the GN statistics reduction with the neighboring convs' spatially
+    partitioned layouts and inserts ~1.8 GB/block of layout-conversion
+    copies at 512px (see `diffews_tpu.ops.groupnorm`).
+    """
+    from diffews_tpu.ops.groupnorm import group_norm_act
+
+    h = group_norm_act(p["norm1"], x, groups=groups, eps=eps, act="silu")
     h = conv2d(p["conv1"], h)
     if temb is not None and "time_emb_proj" in p:
         t = linear(p["time_emb_proj"], silu(temb))
         h = h + t[:, None, None, :]
-    h = group_norm(p["norm2"], h, groups=groups, eps=eps)
-    h = silu(h)
+    h = group_norm_act(p["norm2"], h, groups=groups, eps=eps, act="silu")
     h = conv2d(p["conv2"], h)
     if "conv_shortcut" in p:
         x = conv2d(p["conv_shortcut"], x, padding=0)

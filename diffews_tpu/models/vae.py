@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from diffews_tpu.configs import VAEConfig
 from diffews_tpu.models import layers as L
 from diffews_tpu.ops.attention import fused_kv_attention
+from diffews_tpu.ops.groupnorm import group_norm_act
 from diffews_tpu.utils import init as I
 
 EPS = 1e-6  # VAE GroupNorm epsilon (diffusers AutoencoderKL default)
@@ -75,8 +76,7 @@ def encode_moments(params, cfg: VAEConfig, x: jax.Array,
         if i < n - 1:
             h = L.downsample2d(blk["downsamplers"]["0"], h, asymmetric_pad=True)
     h = _mid_block(p["mid_block"], h, g, attn_impl)
-    h = L.group_norm(p["conv_norm_out"], h, groups=g, eps=EPS)
-    h = L.silu(h)
+    h = group_norm_act(p["conv_norm_out"], h, groups=g, eps=EPS, act="silu")
     h = L.conv2d(p["conv_out"], h)
     return L.conv2d(params["quant_conv"], h, padding=0)
 
@@ -116,8 +116,7 @@ def decode(params, cfg: VAEConfig, z: jax.Array,
             h = L.resnet_block(blk["resnets"][str(j)], h, None, groups=g, eps=EPS)
         if i < n - 1:
             h = L.upsample2d(blk["upsamplers"]["0"], h)
-    h = L.group_norm(p["conv_norm_out"], h, groups=g, eps=EPS)
-    h = L.silu(h)
+    h = group_norm_act(p["conv_norm_out"], h, groups=g, eps=EPS, act="silu")
     return L.conv2d(p["conv_out"], h)
 
 

@@ -179,3 +179,37 @@ def test_timestep_embedding_formula():
                                downscale_freq_shift=shift)
     # atol covers f32 ULP effects in sin/cos of large arguments (t=951).
     np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-3, atol=5e-5)
+
+
+class TestGroupNormAct:
+    """Pallas fused GN+SiLU (ops/groupnorm.py) vs the XLA reference."""
+
+    def test_pallas_matches_xla(self):
+        from diffews_tpu.ops.groupnorm import group_norm_act
+        r = np.random.default_rng(0)
+        x = jnp.asarray(r.normal(size=(2, 16, 8, 128)).astype(np.float32) * 2 + 1)
+        p = {"scale": jnp.asarray(r.normal(size=(128,)).astype(np.float32)),
+             "bias": jnp.asarray(r.normal(size=(128,)).astype(np.float32))}
+        for act in (None, "silu"):
+            a = group_norm_act(p, x, groups=32, eps=1e-6, act=act, impl="xla")
+            b = group_norm_act(p, x, groups=32, eps=1e-6, act=act, impl="pallas")
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-5, rtol=1e-5)
+
+    def test_pallas_grads_match_xla(self):
+        from diffews_tpu.ops.groupnorm import group_norm_act
+        r = np.random.default_rng(1)
+        x = jnp.asarray(r.normal(size=(1, 8, 8, 64)).astype(np.float32))
+        s = jnp.asarray(r.normal(size=(64,)).astype(np.float32))
+        b = jnp.asarray(r.normal(size=(64,)).astype(np.float32))
+
+        def loss(impl):
+            return lambda x, s, b: group_norm_act(
+                {"scale": s, "bias": b}, x, groups=16, eps=1e-6,
+                act="silu", impl=impl).sum()
+
+        gp = jax.grad(loss("pallas"), argnums=(0, 1, 2))(x, s, b)
+        gx = jax.grad(loss("xla"), argnums=(0, 1, 2))(x, s, b)
+        for a_, b_ in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                       atol=1e-4, rtol=1e-4)

@@ -92,3 +92,23 @@ class TestDepthPredict:
         with pytest.raises(NotImplementedError):
             pipe([np.moveaxis(sup[0], -1, 1), np.moveaxis(q, -1, 1),
                   np.moveaxis(msk[0], -1, 1)], mode="sr")
+
+
+class TestAsyncPredict:
+    def test_async_equals_sync(self, pipe):
+        q, sup, msk = _episode(b=2, n=2)
+        pend = pipe.predict_async(q, sup, msk, out_size=(48, 48), r_threshold=0.25)
+        a = pend.result()
+        b = pipe.predict(q, sup, msk, out_size=(48, 48), r_threshold=0.25)
+        assert np.array_equal(a.seg_colored, b.seg_colored)
+        assert np.array_equal(a.mask, b.mask)
+
+    def test_many_in_flight(self, pipe):
+        # several dispatches may be pending simultaneously (eval harness
+        # --dispatch_ahead); results must match per-episode sync calls
+        eps = [_episode(seed=s) for s in range(4)]
+        pending = [pipe.predict_async(*e, r_threshold=0.25) for e in eps]
+        for e, p in zip(eps, pending):
+            want = pipe.predict(*e, r_threshold=0.25)
+            got = p.result()
+            assert np.array_equal(got.seg_colored, want.seg_colored)

@@ -179,3 +179,22 @@ def test_nonfinite_step_skipped(setup):
     state, m2 = step(state, _batch(gas=1, seed=9), jax.random.PRNGKey(1), vp, text)
     assert np.isfinite(float(m2["loss"]))
     assert not np.allclose(np.asarray(state.params["conv_in"]["kernel"]), p0)
+
+
+class TestMultihostHelpers:
+    def test_initialize_is_noop_single_process(self):
+        from diffews_tpu.parallel import mesh as mesh_lib
+        idx, cnt = mesh_lib.maybe_initialize_distributed(False)
+        assert (idx, cnt) == (0, 1)
+
+    def test_put_global_batch_single_process(self):
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from diffews_tpu.parallel import mesh as mesh_lib
+        m = mesh_lib.make_mesh(n_data=8)
+        batch = {"x": np.arange(16, dtype=np.float32).reshape(2, 8)}
+        out = mesh_lib.put_global_batch(batch, m, P(None, "data"))
+        assert np.array_equal(np.asarray(out["x"]), batch["x"])
+        shards = out["x"].sharding.device_set
+        assert len(shards) == 8
