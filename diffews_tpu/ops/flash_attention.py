@@ -20,6 +20,13 @@ Design notes:
     — a dq pass (parallel over q blocks, reduction over kv blocks) and a
     dk/dv pass (parallel over kv blocks, reduction over q blocks);
   - non-TPU backends run the kernel in interpreter mode (tests).
+
+MEASURED NEGATIVE RESULT (1x v5e): keeping the dot operands in bf16
+(preferred_element_type=f32) instead of casting to f32 first — the
+canonical GPU-flash recipe — made the 512px training step 40% SLOWER
+(487 -> 686 ms; tools/tpu_train_smoke.py A/B).  Mosaic's relayouts for
+(2,1)-packed bf16 vregs at these block shapes cost more than the MXU
+dtype win.  Keep the f32 casts.
 """
 
 from __future__ import annotations

@@ -39,12 +39,22 @@ def main():
                 print(f"b{b} n{n} compile+first {time.time()-t0:.0f}s", flush=True)
                 k = 4
                 inputs = [mk(b, n, i + 1) for i in range(k)]
-                t0 = time.perf_counter()
-                outs = [jfn(up, vp, *inp) for inp in inputs]
-                int(outs[-1])
-                dt_chain = time.perf_counter() - t0
-                print(f"b{b} n{n}: {dt_chain / k * 1e3:.0f} ms/batch -> "
-                      f"{b * k / dt_chain:.2f} q/s", flush=True)
+                for inp in inputs:  # force h2d before timing
+                    for a in inp:
+                        float(a.astype(jnp.float32).sum())
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    pending = []
+                    for inp in inputs:
+                        pending.append(jfn(up, vp, *inp))
+                        if len(pending) >= 2:
+                            int(pending.pop(0))
+                    while pending:
+                        int(pending.pop(0))
+                    best = min(best, time.perf_counter() - t0)
+                print(f"b{b} n{n}: {best / k * 1e3:.0f} ms/batch -> "
+                      f"{b * k / best:.2f} q/s (depth-2)", flush=True)
             except Exception as e:
                 print(f"b{b} n{n} FAILED: {type(e).__name__}: {str(e)[:200]}",
                       flush=True)
