@@ -129,6 +129,31 @@ def gn_bf16_stats(p, x, groups=32):
     return x * A.reshape(shape) + Bc.reshape(shape)
 
 
+def gn_reduce_window(p, x, groups=32):
+    """Stats via reduce_window (full-spatial window): windowed ops get
+    conv-style layout treatment, potentially avoiding the reconciliation
+    copies that plain reduces trigger."""
+    b, h, w, c = x.shape
+    n = h * w * (c // groups)
+    xf = x.astype(jnp.float32)
+    s1 = jax.lax.reduce_window(xf, 0.0, jax.lax.add, (1, h, w, 1),
+                               (1, h, w, 1), "VALID")[:, 0, 0, :]   # (B, C)
+    s2 = jax.lax.reduce_window(jnp.square(xf), 0.0, jax.lax.add,
+                               (1, h, w, 1), (1, h, w, 1), "VALID")[:, 0, 0, :]
+    s1g = s1.reshape(b, groups, -1).sum(-1)
+    s2g = s2.reshape(b, groups, -1).sum(-1)
+    mean = s1g / n
+    var = s2g / n - jnp.square(mean)
+    inv = jax.lax.rsqrt(var + 1e-6)
+    inv_c = jnp.repeat(inv, c // groups, axis=1)
+    mean_c = jnp.repeat(mean, c // groups, axis=1)
+    scale = p["scale"].astype(jnp.float32)
+    bias = p["bias"].astype(jnp.float32)
+    A = (inv_c * scale[None]).astype(x.dtype)
+    Bc = (bias[None] - mean_c * inv_c * scale[None]).astype(x.dtype)
+    return x * A[:, None, None, :] + Bc[:, None, None, :]
+
+
 def main():
     global RT
     f0 = jax.jit(lambda x: x.astype(jnp.float32).sum())
@@ -149,6 +174,7 @@ def main():
     run("resnet GN=current (stats+affine)", mk_block(gn_stats_affine))
     run("resnet GN=affine only (no stats)", mk_block(gn_no_stats))
     run("resnet GN=dtype-reduce + einsum sq", mk_block(gn_dtype_reduce))
+    run("resnet GN=reduce_window stats", mk_block(gn_reduce_window))
     run("resnet GN=bf16 stats", mk_block(gn_bf16_stats))
     run("resnet GN=stats + opt-barrier affine", mk_block(gn_stats_stopgrad_barrier))
 
