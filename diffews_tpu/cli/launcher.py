@@ -18,8 +18,15 @@ import sys
 
 def build_parser():
     p = argparse.ArgumentParser("DiffewS-TPU batch eval launcher")
-    p.add_argument("--checkpoints", nargs="+", required=True,
+    p.add_argument("--checkpoints", nargs="*", default=[],
                    help="model dirs (each containing unet/)")
+    p.add_argument("--scan_logs", type=str, default=None,
+                   help="scan this logs dir for experiment folders instead of "
+                        "listing --checkpoints (cl_launcher_*.py behavior)")
+    p.add_argument("--match", type=str, default="",
+                   help="with --scan_logs: substring filter on experiment names")
+    p.add_argument("--iter", type=int, default=20000,
+                   help="with --scan_logs: checkpoint step to evaluate")
     p.add_argument("--folds", type=int, nargs="+", default=[0, 1, 2, 3])
     p.add_argument("--benchmark", type=str, default="coco")
     p.add_argument("--nshot", type=int, default=1)
@@ -59,7 +66,19 @@ def eval_command(args, ckpt: str, fold: int) -> list[str]:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    jobs = [(c, f) for c in args.checkpoints for f in args.folds]
+    checkpoints = list(args.checkpoints)
+    if args.scan_logs:
+        # cl_launcher_eval/cd/list behavior: pick experiments by substring,
+        # evaluate their checkpoint-{iter} (`cl_launcher_eval.py:10-16`)
+        for exp in sorted(os.listdir(args.scan_logs)):
+            if args.match in exp and "eval" not in exp:
+                ckpt = os.path.join(args.scan_logs, exp, f"checkpoint-{args.iter}")
+                if os.path.isdir(os.path.join(ckpt, "unet")):
+                    checkpoints.append(ckpt)
+        print(f"scan: {len(checkpoints)} checkpoint(s) matched")
+    if not checkpoints:
+        raise SystemExit("no checkpoints: pass --checkpoints or --scan_logs")
+    jobs = [(c, f) for c in checkpoints for f in args.folds]
     if args.mode == "local":
         for ckpt, fold in jobs:
             cmd = eval_command(args, ckpt, fold)

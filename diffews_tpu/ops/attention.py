@@ -128,9 +128,21 @@ def cross_attention(
     v: jax.Array,
     *,
     scale: Optional[float] = None,
+    key_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Cross-attention (text conditioning); context lengths are tiny (2/77)."""
-    return dense_attention(q, k, v, scale=scale)
+    """Cross-attention (text conditioning); context lengths are tiny (2/77).
+
+    key_mask: optional (B, Skv) bool — True keeps a context token.  Mirrors
+    the reference's optional cross-attention masking (`CAAttnProcessor2_0` /
+    `CAXFormersAttnProcessor` with use_attn_mask,
+    `attention_processor_attnmask.py:420+`), which its entry points never
+    enable; provided for capability parity.
+    """
+    bias = None
+    if key_mask is not None:
+        bias = jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)
+        bias = bias[:, None, None, :]
+    return dense_attention(q, k, v, scale=scale, kv_bias=bias)
 
 
 def split_heads(x: jax.Array, heads: int) -> jax.Array:

@@ -213,3 +213,17 @@ class TestGroupNormAct:
         for a_, b_ in zip(gp, gx):
             np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                        atol=1e-4, rtol=1e-4)
+
+
+def test_cross_attention_key_mask_drops_tokens():
+    from diffews_tpu.ops.attention import cross_attention
+    r = np.random.default_rng(0)
+    q = jnp.asarray(r.normal(size=(2, 5, 4, 8)).astype(np.float32))
+    k = jnp.asarray(r.normal(size=(2, 7, 4, 8)).astype(np.float32))
+    v = jnp.asarray(r.normal(size=(2, 7, 4, 8)).astype(np.float32))
+    mask = np.ones((2, 7), bool)
+    mask[:, 5:] = False
+    masked = cross_attention(q, k, v, key_mask=jnp.asarray(mask))
+    trunc = cross_attention(q, k[:, :5], v[:, :5])
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(trunc),
+                               atol=1e-6, rtol=1e-6)
