@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dispatch_ahead", type=int, default=2,
                    help="episodes kept in flight on the device; host metric "
                         "work overlaps device compute (1 = synchronous)")
+    p.add_argument("--num_data_shards", type=int, default=1,
+                   help="shard the episode batch over this many chips "
+                        "(a jax.sharding 'data' mesh; bsz must divide it). "
+                        "The reference evaluates on one GPU.")
     return p
 
 
@@ -79,6 +83,15 @@ def evaluate(args) -> tuple[float, float]:
 
     from diffews_tpu.pipeline import DiffewsPipeline
 
+    mesh = None
+    if args.num_data_shards > 1:
+        from diffews_tpu.parallel import mesh as mesh_lib
+
+        if args.bsz % args.num_data_shards:
+            raise SystemExit(f"--bsz {args.bsz} must be divisible by "
+                             f"--num_data_shards {args.num_data_shards}")
+        mesh = mesh_lib.make_mesh(n_data=args.num_data_shards)
+
     pipe = DiffewsPipeline.from_pretrained(
         args.checkpoint,
         unet_dir=args.unet_ckpt_path,
@@ -86,6 +99,7 @@ def evaluate(args) -> tuple[float, float]:
         compute_dtype=jnp.bfloat16 if args.half_precision else jnp.float32,
         attn_impl=args.attn_impl,
         test_timestep=args.test_timestep,
+        mesh=mesh,
     )
 
     FSSDataset.initialize(args.img_size, args.datapath, args.use_original_imgsize)

@@ -79,7 +79,12 @@ class DiffewsPipeline:
         compute_dtype=jnp.float32,
         attn_impl: str = "auto",
         test_timestep: int = 1,
+        mesh=None,
     ):
+        """mesh: optional `jax.sharding.Mesh` with a "data" axis — episode
+        batches shard across chips and params replicate (multi-chip serving;
+        the reference evaluates on one GPU, `main_oss.py:308`).  Batch size
+        must divide the data-axis size."""
         self.unet_cfg: UNetConfig = bundle.unet_cfg
         self.vae_cfg: VAEConfig = bundle.vae_cfg
         self.scheduler = DDIMScheduler(bundle.scheduler_cfg)
@@ -89,6 +94,18 @@ class DiffewsPipeline:
 
         self.unet_params = _cast_tree(bundle.unet_params, compute_dtype)
         self.vae_params = _cast_tree(bundle.vae_params, compute_dtype)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            put = lambda t: jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), t)
+            self.unet_params = put(self.unet_params)
+            self.vae_params = put(self.vae_params)
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+        else:
+            self._batch_sharding = None
 
         # Empty-prompt embedding: computed once, like the reference caches
         # `empty_text_embed` (pipeline `:585-614`).  Eval protocol uses the
@@ -219,14 +236,20 @@ class DiffewsPipeline:
         supports = _to_nhwc(np.asarray(supports), 5)
         support_masks = _to_nhwc(np.asarray(support_masks), 5)
 
+        def put(x):
+            x = jnp.asarray(x)
+            if self._batch_sharding is not None:
+                x = jax.device_put(x, self._batch_sharding)
+            return x
+
         img = self._predict_jit(
             self.unet_params,
             self.vae_params,
-            jnp.asarray(query),
-            jnp.asarray(supports),
-            jnp.asarray(support_masks),
+            put(query),
+            put(supports),
+            put(support_masks),
             self.empty_text_embed,
-            None if shot_mask is None else jnp.asarray(shot_mask),
+            None if shot_mask is None else put(shot_mask),
             denoising_steps,
         )
 

@@ -112,3 +112,30 @@ class TestAsyncPredict:
             want = pipe.predict(*e, r_threshold=0.25)
             got = p.result()
             assert np.array_equal(got.seg_colored, want.seg_colored)
+
+
+def test_mesh_sharded_predict_matches_single_device():
+    """Episode batch sharded over an 8-device "data" mesh == single device
+    (up to fp reassociation: <=1 uint8 level on isolated pixels)."""
+    from diffews_tpu import checkpoint as C2
+    from diffews_tpu.configs import (CLIPTextConfig, SchedulerConfig,
+                                     UNetConfig, VAEConfig)
+    from diffews_tpu.models import unet as unet_m
+    from diffews_tpu.models import vae as vae_m
+    from diffews_tpu.parallel import mesh as mesh_lib
+
+    ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
+    bundle = C2.PipelineBundle(
+        unet_m.init_params(jax.random.PRNGKey(0), ucfg), ucfg,
+        vae_m.init_params(jax.random.PRNGKey(1), vcfg), vcfg,
+        None, CLIPTextConfig.tiny(), SchedulerConfig.diffews(),
+    )
+    m = mesh_lib.make_mesh(n_data=8)
+    r = np.random.default_rng(0)
+    q = r.uniform(-1, 1, (8, 32, 32, 3))
+    s = r.uniform(-1, 1, (8, 1, 32, 32, 3))
+    k = r.uniform(-1, 1, (8, 1, 32, 32, 3))
+    a = DiffewsPipeline(bundle, mesh=m).predict(q, s, k, r_threshold=0.25)
+    b = DiffewsPipeline(bundle).predict(q, s, k, r_threshold=0.25)
+    assert np.abs(a.seg_colored.astype(int) - b.seg_colored.astype(int)).max() <= 1
+    assert np.array_equal(a.mask, b.mask)
