@@ -31,8 +31,11 @@ def main():
                 jnp.asarray(r.uniform(-1, 1, (b, n, 512, 512, 3)), dt),
                 jnp.asarray(r.normal(size=(b, 2, 1024)), dt))
 
-    for n in (1,):
-        for b in (8, 16, 24, 32):
+    import sys as _sys
+    shots = [int(x) for x in (_sys.argv[1:2] or ["1"])]
+    batches = [int(x) for x in (_sys.argv[2:] or ["8", "16", "24", "32"])]
+    for n in shots:
+        for b in batches:
             try:
                 t0 = time.time()
                 int(jfn(up, vp, *mk(b, n, 0)))
