@@ -1,24 +1,35 @@
-"""Native mask codecs: COCO RLE and polygon rasterization.
+"""Mask codecs: COCO RLE and polygon rasterization.
 
 Replaces the external native dependencies the reference leans on for
 LVIS/PACO/Pascal-Part (`pycocotools.mask.decode`,
 detectron2 `polygons_to_bitmask` — `evaluation_util/data/lvis.py:97-116`,
-`paco_part.py:105-124`, `pascal_part.py:125-128`) with pure
-NumPy/PIL implementations:
+`paco_part.py:105-124`, `pascal_part.py:125-128`):
 
   - `rle_decode` handles both compressed (char-codec) and uncompressed
     COCO RLEs, column-major run order;
   - `rle_encode` produces the compressed form (round-trip tested);
   - `polygons_to_bitmask` rasterizes COCO polygon lists (boundary-inclusive
     fill, matching pycocotools' convention of including outline pixels).
+
+Each function dispatches to the native C++ codec
+(`diffews_tpu/native/maskcodec.cc`, loaded via ctypes, built lazily) when
+available and falls back to the pure NumPy/PIL implementations below
+(``_py``-suffixed, kept as the test oracle).  The char codec and RLE
+expansion are bit-identical across the two paths; polygon rasterization
+differs at boundary pixels (native implements the COCO upsample-x5
+crossing-parity convention, the fallback uses PIL scanline fill).  Set
+``DIFFEWS_TPU_NATIVE=0`` to force the fallback.
 """
 
 from __future__ import annotations
 
+import ctypes
 from typing import Dict, List, Sequence, Union
 
 import numpy as np
 from PIL import Image, ImageDraw
+
+from diffews_tpu import native as _native
 
 
 # ---------------------------------------------------------------------------
@@ -26,10 +37,40 @@ from PIL import Image, ImageDraw
 # ---------------------------------------------------------------------------
 
 
+def _decode_counts_array(s: Union[bytes, str]):
+    """Native char-codec decode -> int64 array, or None if unavailable."""
+    if isinstance(s, str):
+        s = s.encode("ascii")
+    lib = _native.load()
+    if lib is None:
+        return None
+    out = np.empty(max(len(s), 1), dtype=np.int64)
+    n = lib.rle_decode_counts(
+        s, len(s), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out.size)
+    return out[:n] if n >= 0 else None
+
+
+def _encode_counts_array(counts: np.ndarray) -> Union[bytes, None]:
+    """Native char-codec encode from an int64 array, or None."""
+    lib = _native.load()
+    if lib is None:
+        return None
+    arr = np.ascontiguousarray(counts, dtype=np.int64)
+    buf = ctypes.create_string_buffer(13 * max(arr.size, 1))
+    n = lib.rle_encode_counts(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), arr.size,
+        buf, len(buf))
+    return buf.raw[:n] if n >= 0 else None
+
+
 def _decode_counts(s: Union[bytes, str]) -> List[int]:
     """Decode the COCO compressed-RLE count string (5-bit varint, delta>2)."""
     if isinstance(s, str):
         s = s.encode("ascii")
+    arr = _decode_counts_array(s)
+    if arr is not None:
+        return arr.tolist()
     counts: List[int] = []
     i = 0
     while i < len(s):
@@ -49,6 +90,9 @@ def _decode_counts(s: Union[bytes, str]) -> List[int]:
 
 
 def _encode_counts(counts: Sequence[int]) -> bytes:
+    enc = _encode_counts_array(np.asarray(counts, dtype=np.int64))
+    if enc is not None:
+        return enc
     out = bytearray()
     for i, cnt in enumerate(counts):
         x = int(cnt)
@@ -74,8 +118,17 @@ def rle_decode(rle: Dict) -> np.ndarray:
     h, w = rle["size"]
     counts = rle["counts"]
     if isinstance(counts, (bytes, str)):
-        counts = _decode_counts(counts)
-    counts = np.asarray(counts, dtype=np.int64)
+        arr = _decode_counts_array(counts)
+        counts = _decode_counts(counts) if arr is None else arr
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    lib = _native.load()
+    if lib is not None:
+        out = np.empty((h, w), dtype=np.uint8)
+        lib.rle_expand(
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            counts.size, h, w,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out
     vals = np.zeros(len(counts), dtype=np.uint8)
     vals[1::2] = 1
     flat = np.repeat(vals, counts)
@@ -87,6 +140,17 @@ def rle_decode(rle: Dict) -> np.ndarray:
 def rle_encode(mask: np.ndarray) -> Dict:
     """(h, w) binary mask -> compressed COCO RLE dict."""
     h, w = mask.shape
+    lib = _native.load()
+    if lib is not None:
+        m = np.ascontiguousarray(mask, dtype=np.uint8)
+        out = np.empty(h * w + 1, dtype=np.int64)
+        n = lib.rle_from_mask(
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), out.size)
+        if n >= 0:
+            enc = _encode_counts_array(out[:n])
+            if enc is not None:
+                return {"size": [h, w], "counts": enc}
     flat = np.asarray(mask, dtype=np.uint8).T.reshape(-1)
     # run-length encode with leading zero-run
     change = np.nonzero(np.diff(flat))[0] + 1
@@ -110,6 +174,20 @@ def polygons_to_bitmask(polygons: Sequence[np.ndarray], height: int, width: int)
     """
     if len(polygons) == 0:
         return np.zeros((height, width), dtype=bool)
+    lib = _native.load()
+    if lib is not None:
+        flats = [np.ascontiguousarray(np.asarray(p, np.float64).reshape(-1))
+                 for p in polygons]
+        xy = (np.concatenate(flats) if flats
+              else np.zeros((0,), np.float64))
+        lens = np.asarray([f.size // 2 for f in flats], dtype=np.int64)
+        out = np.empty((height, width), dtype=np.uint8)
+        lib.polys_to_mask(
+            xy.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            lens.size, height, width,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out.astype(bool)
     img = Image.new("1", (width, height), 0)
     draw = ImageDraw.Draw(img)
     for p in polygons:

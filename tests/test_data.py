@@ -44,11 +44,19 @@ class TestMaskCodecs:
         np.testing.assert_array_equal(M.rle_decode(rle_str), m)
 
     def test_polygon_rect(self):
+        from diffews_tpu import native
+
         mask = M.polygons_to_bitmask(
             [np.array([2.0, 3.0, 10.0, 3.0, 10.0, 8.0, 2.0, 8.0])], 12, 14
         )
         assert mask[5, 6]
-        assert mask[3, 2] and mask[8, 10]  # boundary included
+        assert mask[3, 2]  # low boundary included in both conventions
+        if native.load() is None:
+            assert mask[8, 10]  # PIL fallback: outline-inclusive fill
+        else:
+            # native COCO crossing-parity convention samples pixel x at
+            # continuous x + 2/5: the high boundary row/col fall outside
+            assert not mask[8, 10] and mask[7, 9]
         assert not mask[0, 0] and not mask[11, 13]
 
     def test_segmentation_dispatch(self):
