@@ -25,10 +25,29 @@ import jax.numpy as jnp
 from diffews_tpu.configs import VAEConfig
 from diffews_tpu.models import layers as L
 from diffews_tpu.ops.attention import fused_kv_attention
+from diffews_tpu.ops.fused_resnet import fused_norm_conv_out, fused_resnet_block
 from diffews_tpu.ops.groupnorm import group_norm_act
 from diffews_tpu.utils import init as I
 
 EPS = 1e-6  # VAE GroupNorm epsilon (diffusers AutoencoderKL default)
+
+
+def _resolve_resnet_impl(impl: str) -> str:
+    """"fused" = Pallas megakernel chain on TPU, XLA reference elsewhere
+    (`ops/fused_resnet.py`); "pallas" = force the kernels (interpret mode
+    off-TPU, for tests); "xla" = `layers.resnet_block`.  "auto" currently
+    resolves to "xla" pending the on-chip A/B (tools/tpu_vae_matrix.py)."""
+    if impl != "auto":
+        return impl
+    return "xla"
+
+
+def _resnet(p, h, st, *, groups: int, impl: str):
+    """One resnet block, threading GN statistics when fused."""
+    if impl in ("fused", "pallas"):
+        k = "auto" if impl == "fused" else "pallas"
+        return fused_resnet_block(p, h, st, groups=groups, eps=EPS, impl=k)
+    return L.resnet_block(p, h, None, groups=groups, eps=EPS), None
 
 
 # ---------------------------------------------------------------------------
@@ -55,44 +74,55 @@ def _mid_attention(p, x: jax.Array, groups: int, attn_impl: str) -> jax.Array:
     return o.reshape(b, h, w, c) + residual
 
 
-def _mid_block(p, x: jax.Array, groups: int, attn_impl: str) -> jax.Array:
-    x = L.resnet_block(p["resnets"]["0"], x, None, groups=groups, eps=EPS)
+def _mid_block(p, x: jax.Array, st, groups: int, attn_impl: str, impl: str):
+    x, st = _resnet(p["resnets"]["0"], x, st, groups=groups, impl=impl)
     x = _mid_attention(p["attentions"]["0"], x, groups, attn_impl)
-    x = L.resnet_block(p["resnets"]["1"], x, None, groups=groups, eps=EPS)
-    return x
+    x, st = _resnet(p["resnets"]["1"], x, None, groups=groups, impl=impl)
+    return x, st
 
 
 def encode_moments(params, cfg: VAEConfig, x: jax.Array,
-                   attn_impl: str = "auto") -> jax.Array:
+                   attn_impl: str = "auto",
+                   resnet_impl: str = "auto") -> jax.Array:
     """NHWC image in [-1,1] -> (B, H/8, W/8, 2*latent) moments."""
+    impl = _resolve_resnet_impl(resnet_impl)
     p = params["encoder"]
     g = cfg.norm_num_groups
     h = L.conv2d(p["conv_in"], x)
+    st = None  # GN stats chained between fused blocks; None at the seams
     n = len(cfg.block_out_channels)
     for i in range(n):
         blk = p["down_blocks"][str(i)]
         for j in range(cfg.layers_per_block):
-            h = L.resnet_block(blk["resnets"][str(j)], h, None, groups=g, eps=EPS)
+            h, st = _resnet(blk["resnets"][str(j)], h, st, groups=g, impl=impl)
         if i < n - 1:
             h = L.downsample2d(blk["downsamplers"]["0"], h, asymmetric_pad=True)
-    h = _mid_block(p["mid_block"], h, g, attn_impl)
-    h = group_norm_act(p["conv_norm_out"], h, groups=g, eps=EPS, act="silu")
-    h = L.conv2d(p["conv_out"], h)
+            st = None
+    h, st = _mid_block(p["mid_block"], h, st, g, attn_impl, impl)
+    if impl in ("fused", "pallas"):
+        h = fused_norm_conv_out(p["conv_norm_out"], p["conv_out"], h, st,
+                                groups=g, eps=EPS,
+                                impl="auto" if impl == "fused" else "pallas")
+    else:
+        h = group_norm_act(p["conv_norm_out"], h, groups=g, eps=EPS, act="silu")
+        h = L.conv2d(p["conv_out"], h)
     return L.conv2d(params["quant_conv"], h, padding=0)
 
 
 def encode_mean_latent(params, cfg: VAEConfig, x: jax.Array,
-                       attn_impl: str = "auto") -> jax.Array:
+                       attn_impl: str = "auto",
+                       resnet_impl: str = "auto") -> jax.Array:
     """Deterministic latent: posterior mean x scaling_factor (eval path)."""
-    moments = encode_moments(params, cfg, x, attn_impl)
+    moments = encode_moments(params, cfg, x, attn_impl, resnet_impl)
     mean = moments[..., : cfg.latent_channels]
     return mean * cfg.scaling_factor
 
 
 def sample_latent(params, cfg: VAEConfig, x: jax.Array, rng: jax.Array,
-                  attn_impl: str = "auto") -> jax.Array:
+                  attn_impl: str = "auto",
+                  resnet_impl: str = "auto") -> jax.Array:
     """Reparametrized posterior sample x scaling_factor (train path)."""
-    moments = encode_moments(params, cfg, x, attn_impl)
+    moments = encode_moments(params, cfg, x, attn_impl, resnet_impl)
     mean, logvar = jnp.split(moments, 2, axis=-1)
     logvar = jnp.clip(logvar, -30.0, 20.0)
     std = jnp.exp(0.5 * logvar)
@@ -101,21 +131,28 @@ def sample_latent(params, cfg: VAEConfig, x: jax.Array, rng: jax.Array,
 
 
 def decode(params, cfg: VAEConfig, z: jax.Array,
-           attn_impl: str = "auto") -> jax.Array:
+           attn_impl: str = "auto",
+           resnet_impl: str = "auto") -> jax.Array:
     """Scaled latent -> NHWC image (unclipped; pipeline clips to [-1,1])."""
+    impl = _resolve_resnet_impl(resnet_impl)
     z = z / cfg.scaling_factor
     z = L.conv2d(params["post_quant_conv"], z, padding=0)
     p = params["decoder"]
     g = cfg.norm_num_groups
     h = L.conv2d(p["conv_in"], z)
-    h = _mid_block(p["mid_block"], h, g, attn_impl)
+    h, st = _mid_block(p["mid_block"], h, None, g, attn_impl, impl)
     n = len(cfg.block_out_channels)
     for i in range(n):
         blk = p["up_blocks"][str(i)]
         for j in range(cfg.layers_per_block + 1):
-            h = L.resnet_block(blk["resnets"][str(j)], h, None, groups=g, eps=EPS)
+            h, st = _resnet(blk["resnets"][str(j)], h, st, groups=g, impl=impl)
         if i < n - 1:
             h = L.upsample2d(blk["upsamplers"]["0"], h)
+            st = None
+    if impl in ("fused", "pallas"):
+        return fused_norm_conv_out(p["conv_norm_out"], p["conv_out"], h, st,
+                                   groups=g, eps=EPS,
+                                   impl="auto" if impl == "fused" else "pallas")
     h = group_norm_act(p["conv_norm_out"], h, groups=g, eps=EPS, act="silu")
     return L.conv2d(p["conv_out"], h)
 

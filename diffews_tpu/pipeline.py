@@ -163,8 +163,15 @@ class DiffewsPipeline:
             ],
             axis=0,
         )
+        # small encode batches can't saturate XLA's spatially-partitioned
+        # convs; the fused Pallas resnet chain wins there (1x v5e: b3 encode
+        # 55.9 vs 74.6 ms) but loses once the chip saturates (b24: 226 vs
+        # 181 ms) — tools/tpu_fused_resnet_bench.py
+        resnet_impl = ("fused" if all_imgs.shape[0] <= 4
+                       and jax.default_backend() == "tpu" else "auto")
         lat = vae.encode_mean_latent(vae_params, self.vae_cfg, all_imgs,
-                                     attn_impl=self.attn_impl)
+                                     attn_impl=self.attn_impl,
+                                     resnet_impl=resnet_impl)
         lh, lw = lat.shape[1:3]
         q_lat = lat[:b]
         s_lat = lat[b : b + b * n].reshape(b, n, lh, lw, -1)
