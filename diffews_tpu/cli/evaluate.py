@@ -102,7 +102,10 @@ def evaluate(args) -> tuple[float, float]:
         mesh=mesh,
     )
 
-    FSSDataset.initialize(args.img_size, args.datapath, args.use_original_imgsize)
+    # raw_images: episodes stay uint8 HWC on the host; the pipeline
+    # normalizes in-graph (identical arithmetic, ~8x smaller h2d upload)
+    FSSDataset.initialize(args.img_size, args.datapath, args.use_original_imgsize,
+                          raw_images=True)
     loader = FSSDataset.build_dataloader(
         args.benchmark, args.bsz, args.nworker, args.fold, "test", args.nshot
     )
@@ -134,9 +137,9 @@ def evaluate(args) -> tuple[float, float]:
     for idx, batch in enumerate(loader):
         if args.max_episodes and idx >= args.max_episodes:
             break
-        # support masks: (B,N,H,W) {0,1} -> (B,N,3,H,W) in [-1,1]
-        # (main_oss.py:100-104)
-        smask = np.repeat(batch["support_masks"][:, :, None], 3, axis=2) * 2.0 - 1.0
+        # support masks stay (B,N,H,W) {0,1} uint8; the 3-channel [-1,1]
+        # folding (main_oss.py:100-104) happens in-graph on device.
+        smask = batch["support_masks"].astype(np.uint8)
 
         # Dispatch ahead: the device computes episode i while the host scores
         # episode i-1 (JAX async dispatch; numerics unchanged).

@@ -30,11 +30,14 @@ class FSSDataset:
     }
 
     @classmethod
-    def initialize(cls, img_size: int, datapath: str, use_original_imgsize: bool = False):
+    def initialize(cls, img_size: int, datapath: str, use_original_imgsize: bool = False,
+                   raw_images: bool = False):
+        """raw_images=True keeps episode images as resized uint8 HWC; the
+        pipeline normalizes in-graph (same arithmetic, ~8x smaller h2d)."""
         cls.img_size = img_size
         cls.datapath = datapath
         cls.use_original_imgsize = use_original_imgsize
-        cls.transform = ImageTransform(img_size)
+        cls.transform = ImageTransform(img_size, raw=raw_images)
 
     @classmethod
     def build_dataset(cls, benchmark: str, fold: int, split: str, shot: int = 1):

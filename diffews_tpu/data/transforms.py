@@ -19,13 +19,22 @@ from diffews_tpu.ops.resize import _nearest_indices
 
 
 class ImageTransform:
-    """PIL RGB image -> float32 (3, S, S) in [-1, 1]."""
+    """PIL RGB image -> float32 (3, S, S) in [-1, 1].
 
-    def __init__(self, img_size: int):
+    With `raw=True`, stops after the bilinear resize and returns uint8
+    (S, S, 3) HWC — the pipeline then performs the identical `/255, -0.5,
+    /0.5` f32 arithmetic in-graph (`DiffewsPipeline._x0_latent`), which
+    shrinks the host->device episode upload 4x with bit-identical results.
+    """
+
+    def __init__(self, img_size: int, raw: bool = False):
         self.img_size = img_size
+        self.raw = raw
 
     def __call__(self, img: Image.Image) -> np.ndarray:
         img = img.convert("RGB").resize((self.img_size, self.img_size), Image.BILINEAR)
+        if self.raw:
+            return np.asarray(img, dtype=np.uint8)
         arr = np.asarray(img, dtype=np.float32) / 255.0
         arr = (arr - 0.5) / 0.5
         return arr.transpose(2, 0, 1)

@@ -19,6 +19,8 @@ _MASK_COLOR = np.array([255, 50, 50], np.float32)
 
 
 def _denorm(img_chw: np.ndarray) -> np.ndarray:
+    if img_chw.dtype == np.uint8:  # raw-ingestion episodes are uint8 HWC
+        return img_chw
     """(3,H,W) in [-1,1] -> (H,W,3) uint8."""
     x = img_chw.transpose(1, 2, 0) * _STD + _MEAN
     return (np.clip(x, 0, 1) * 255).astype(np.uint8)

@@ -154,12 +154,30 @@ class DiffewsPipeline:
         b, n = supports.shape[0], supports.shape[1]
         dt = self.compute_dtype
 
+        # ---- in-graph ingestion (uint8 fast path) ----
+        # Accepting raw uint8 images and (B,N,H,W) {0,1} masks cuts the
+        # host->device upload ~8x per episode (bench: uint8 15 MB vs f32
+        # 125 MB at b8 512px 1-shot); normalization replays the host
+        # transform's exact f32 arithmetic (transforms.ImageTransform /
+        # `main_oss.py:100-104` mask folding) so numerics are unchanged.
+        def norm(x):
+            if x.dtype == jnp.uint8:
+                x = (x.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+            return x.astype(dt)
+
+        query, supports = norm(query), norm(supports)
+        if masks.ndim == 4:  # (B, N, H, W) {0,1} -> (B, N, H, W, 3) in [-1,1]
+            m = masks.astype(jnp.float32) * 2.0 - 1.0
+            masks = jnp.broadcast_to(m[..., None], m.shape + (3,)).astype(dt)
+        else:
+            masks = norm(masks)
+
         # ---- single batched VAE encode for all three streams ----
         all_imgs = jnp.concatenate(
             [
-                query.astype(dt),
-                supports.reshape((b * n,) + supports.shape[2:]).astype(dt),
-                masks.reshape((b * n,) + masks.shape[2:]).astype(dt),
+                query,
+                supports.reshape((b * n,) + supports.shape[2:]),
+                masks.reshape((b * n,) + masks.shape[2:]),
             ],
             axis=0,
         )
@@ -238,10 +256,22 @@ class DiffewsPipeline:
         harness uses this to hide the host<->device latency behind compute.
         Numerics are identical to `predict` (same program, same uint8
         round-trip; only the synchronization point moves).
+
+        Fast ingestion: `query`/`supports` may be raw uint8 (0..255) and
+        `support_masks` may be a 4-D (B, N, H, W) {0,1} array (any dtype) —
+        normalization / 3-channel [-1,1] folding then happen in-graph,
+        shrinking the host->device upload ~8x with bit-identical results
+        (the device replays the host transform's f32 arithmetic).
         """
         query = _to_nhwc(np.asarray(query), 4)
         supports = _to_nhwc(np.asarray(supports), 5)
-        support_masks = _to_nhwc(np.asarray(support_masks), 5)
+        support_masks = np.asarray(support_masks)
+        if support_masks.ndim == 5:
+            support_masks = _to_nhwc(support_masks, 5)
+        elif support_masks.ndim != 4:
+            raise ValueError(
+                f"support_masks must be 4-D {{0,1}} or 5-D 3-channel [-1,1]; "
+                f"got shape {support_masks.shape}")
 
         def put(x):
             x = jnp.asarray(x)

@@ -41,6 +41,24 @@ class TestSegPredict:
         want = p.mean(-1) > p.max() * 0.25
         np.testing.assert_array_equal(out.mask[0], want[0])
 
+    def test_uint8_ingestion_bit_identical(self, pipe):
+        """Raw uint8 images + (B,N,H,W) {0,1} masks (in-graph normalization)
+        must reproduce the host-normalized float path bit-exactly — the
+        device replays the same f32 `/255, -0.5, /0.5` arithmetic."""
+        rng = np.random.default_rng(7)
+        b, n, s = 2, 2, 32
+        q8 = rng.integers(0, 256, (b, s, s, 3), dtype=np.uint8)
+        s8 = rng.integers(0, 256, (b, n, s, s, 3), dtype=np.uint8)
+        m1 = (rng.random((b, n, s, s)) > 0.5).astype(np.uint8)
+        # host-normalized reference episode (transforms.ImageTransform math)
+        qf = (q8.astype(np.float32) / 255.0 - 0.5) / 0.5
+        sf = (s8.astype(np.float32) / 255.0 - 0.5) / 0.5
+        mf = np.repeat(m1[..., None].astype(np.float32), 3, axis=-1) * 2.0 - 1.0
+        a = pipe.predict(q8, s8, m1, r_threshold=0.25)
+        ref = pipe.predict(qf, sf, mf, r_threshold=0.25)
+        np.testing.assert_array_equal(a.seg_colored, ref.seg_colored)
+        np.testing.assert_array_equal(a.mask, ref.mask)
+
     def test_multi_step_equals_single_step(self, pipe):
         """Degenerate scheduler: extra denoise steps are no-ops end-to-end
         (SURVEY.md §3.5) — verified through VAE+UNet+decode."""
