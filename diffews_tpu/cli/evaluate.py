@@ -70,7 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def evaluate(args) -> tuple[float, float]:
+def evaluate(args, pipe=None, raw_images: bool = True) -> tuple[float, float]:
+    """Run the seeded eval protocol.  `pipe` injects a prebuilt
+    `DiffewsPipeline` (benchmark tools use random-init full-size models
+    without materializing a checkpoint on disk); default builds one from
+    `args.checkpoint` like the reference harness (`main_oss.py:338-372`).
+    `raw_images=False` falls back to host-normalized float episodes
+    (numerically identical; ~8x more h2d bytes — A/B hook for tools)."""
     # Seeded protocol (main_oss.py:33-36): global RNGs pinned before episode
     # sampling.
     random.seed(0)
@@ -92,20 +98,21 @@ def evaluate(args) -> tuple[float, float]:
                              f"--num_data_shards {args.num_data_shards}")
         mesh = mesh_lib.make_mesh(n_data=args.num_data_shards)
 
-    pipe = DiffewsPipeline.from_pretrained(
-        args.checkpoint,
-        unet_dir=args.unet_ckpt_path,
-        scheduler_dir=args.scheduler_load_path,
-        compute_dtype=jnp.bfloat16 if args.half_precision else jnp.float32,
-        attn_impl=args.attn_impl,
-        test_timestep=args.test_timestep,
-        mesh=mesh,
-    )
+    if pipe is None:
+        pipe = DiffewsPipeline.from_pretrained(
+            args.checkpoint,
+            unet_dir=args.unet_ckpt_path,
+            scheduler_dir=args.scheduler_load_path,
+            compute_dtype=jnp.bfloat16 if args.half_precision else jnp.float32,
+            attn_impl=args.attn_impl,
+            test_timestep=args.test_timestep,
+            mesh=mesh,
+        )
 
     # raw_images: episodes stay uint8 HWC on the host; the pipeline
     # normalizes in-graph (identical arithmetic, ~8x smaller h2d upload)
     FSSDataset.initialize(args.img_size, args.datapath, args.use_original_imgsize,
-                          raw_images=True)
+                          raw_images=raw_images)
     loader = FSSDataset.build_dataloader(
         args.benchmark, args.bsz, args.nworker, args.fold, "test", args.nshot
     )
@@ -139,7 +146,11 @@ def evaluate(args) -> tuple[float, float]:
             break
         # support masks stay (B,N,H,W) {0,1} uint8; the 3-channel [-1,1]
         # folding (main_oss.py:100-104) happens in-graph on device.
-        smask = batch["support_masks"].astype(np.uint8)
+        if raw_images:
+            smask = batch["support_masks"].astype(np.uint8)
+        else:
+            smask = (np.repeat(batch["support_masks"][:, :, None], 3, axis=2)
+                     * 2.0 - 1.0)
 
         # Dispatch ahead: the device computes episode i while the host scores
         # episode i-1 (JAX async dispatch; numerics unchanged).

@@ -32,11 +32,20 @@ from diffews_tpu.utils import init as I
 EPS = 1e-6  # VAE GroupNorm epsilon (diffusers AutoencoderKL default)
 
 
+# "mixed" uses the fused megakernel only where the spatial grid is at least
+# this many pixels — the GN layout-copy tax XLA pays scales with the spatial
+# size (~1.8 GB/block at 512^2) while the kernel's ~43 TF/s VPU ceiling is
+# resolution-independent, so the crossover sits at large grids.
+MIXED_MIN_PIXELS = 256 * 256
+
+
 def _resolve_resnet_impl(impl: str) -> str:
     """"fused" = Pallas megakernel chain on TPU, XLA reference elsewhere
-    (`ops/fused_resnet.py`); "pallas" = force the kernels (interpret mode
-    off-TPU, for tests); "xla" = `layers.resnet_block`.  "auto" currently
-    resolves to "xla" pending the on-chip A/B (tools/tpu_vae_matrix.py)."""
+    (`ops/fused_resnet.py`); "mixed" = fused only for blocks with >=
+    MIXED_MIN_PIXELS spatial elements (the layout-tax regime); "pallas" =
+    force the kernels (interpret mode off-TPU, for tests); "xla" =
+    `layers.resnet_block`.  "auto" currently resolves to "xla" pending the
+    on-chip A/B (tools/tpu_vae_matrix.py)."""
     if impl != "auto":
         return impl
     return "xla"
@@ -44,6 +53,9 @@ def _resolve_resnet_impl(impl: str) -> str:
 
 def _resnet(p, h, st, *, groups: int, impl: str):
     """One resnet block, threading GN statistics when fused."""
+    if impl == "mixed":
+        impl = "fused" if h.shape[1] * h.shape[2] >= MIXED_MIN_PIXELS else "xla"
+        st = st if impl == "fused" else None
     if impl in ("fused", "pallas"):
         k = "auto" if impl == "fused" else "pallas"
         return fused_resnet_block(p, h, st, groups=groups, eps=EPS, impl=k)
@@ -149,10 +161,13 @@ def decode(params, cfg: VAEConfig, z: jax.Array,
         if i < n - 1:
             h = L.upsample2d(blk["upsamplers"]["0"], h)
             st = None
-    if impl in ("fused", "pallas"):
+    # "mixed" ends at full resolution where the fused blocks ran, so the
+    # output norm+conv belongs to the fused chain there too
+    if impl in ("fused", "pallas") or (
+            impl == "mixed" and h.shape[1] * h.shape[2] >= MIXED_MIN_PIXELS):
         return fused_norm_conv_out(p["conv_norm_out"], p["conv_out"], h, st,
                                    groups=g, eps=EPS,
-                                   impl="auto" if impl == "fused" else "pallas")
+                                   impl="pallas" if impl == "pallas" else "auto")
     h = group_norm_act(p["conv_norm_out"], h, groups=g, eps=EPS, act="silu")
     return L.conv2d(p["conv_out"], h)
 

@@ -81,6 +81,19 @@ class TestTransforms:
         assert out.shape == (3, 64, 64)
         assert out.min() >= -1.0 and out.max() <= 1.0
 
+    def test_raw_mode_is_prenormalization_image(self):
+        """raw=True must be exactly the uint8 image the float transform
+        normalizes — same PIL resize, arithmetic deferred to the device."""
+        from PIL import Image
+
+        img = Image.fromarray(
+            np.random.default_rng(1).integers(0, 255, (30, 40, 3), np.uint8)
+        )
+        raw = ImageTransform(64, raw=True)(img)
+        assert raw.dtype == np.uint8 and raw.shape == (64, 64, 3)
+        renorm = ((raw.astype(np.float32) / 255.0 - 0.5) / 0.5).transpose(2, 0, 1)
+        np.testing.assert_array_equal(renorm, ImageTransform(64)(img))
+
     def test_nearest_mask_matches_torch(self):
         import torch
         import torch.nn.functional as F

@@ -113,6 +113,26 @@ class TestBlockAndVAE:
         np.testing.assert_allclose(chained, fresh, atol=2e-5, rtol=1e-5)
 
     @pytest.mark.parametrize("fn", ["encode", "decode"])
+    def test_mixed_impl_parity(self, fn, monkeypatch):
+        """"mixed" (fused at high-res stages, XLA below the pixel threshold)
+        must match pure XLA.  Threshold lowered so the tiny VAE actually
+        switches impls mid-chain."""
+        monkeypatch.setattr(vae, "MIXED_MIN_PIXELS", 32 * 32)
+        cfg = VAEConfig.tiny()
+        p = vae.init_params(jax.random.PRNGKey(0), cfg)
+        r = np.random.default_rng(0)
+        if fn == "encode":
+            x = jnp.asarray(r.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+            got = vae.encode_moments(p, cfg, x, resnet_impl="mixed")
+            want = vae.encode_moments(p, cfg, x, resnet_impl="xla")
+        else:
+            z = jnp.asarray(r.normal(size=(2, 16, 16, cfg.latent_channels)) * 0.2,
+                            jnp.float32)
+            got = vae.decode(p, cfg, z, resnet_impl="mixed")
+            want = vae.decode(p, cfg, z, resnet_impl="xla")
+        np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+    @pytest.mark.parametrize("fn", ["encode", "decode"])
     def test_full_vae_parity(self, fn):
         cfg = VAEConfig.tiny()
         p = vae.init_params(jax.random.PRNGKey(0), cfg)

@@ -72,7 +72,7 @@ def phase2():
     vcfg = VAEConfig.sd()
     vp = jax.jit(lambda r: vae.init_params(r, vcfg))(jax.random.PRNGKey(1))
     vp = jax.tree_util.tree_map(lambda a: a.astype(dt), vp)
-    for impl in ("xla", "fused"):
+    for impl in ("xla", "fused", "mixed"):
         enc = jax.jit(lambda vp, x, i=impl: vae.encode_mean_latent(
             vp, vcfg, x, resnet_impl=i).astype(jnp.float32).sum())
         dec = jax.jit(lambda vp, z, i=impl: vae.decode(
