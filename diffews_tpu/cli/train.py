@@ -95,18 +95,29 @@ def build_parser() -> argparse.ArgumentParser:
 def _episode_to_streams(batch, rng: random.Random, max_nshot: int):
     """Host-side per-step tensor prep, matching `train_icl_*_v3.py:1325-1340`:
     masks to 3-channel [-1,1]; random 1..max_nshot shot subset -> bool mask
-    over padded supports (mask semantics == physically dropping the shots)."""
-    q = np.moveaxis(batch["query_img"], 1, -1)                      # (B,H,W,3)
-    sup = np.moveaxis(batch["support_imgs"], 2, -1)                 # (B,N,H,W,3)
-    qm3 = np.repeat(batch["query_mask"][:, :, :, None], 3, -1) * 2.0 - 1.0
-    sm3 = np.repeat(batch["support_masks"][:, :, :, :, None], 3, -1) * 2.0 - 1.0
+    over padded supports (mask semantics == physically dropping the shots).
+
+    With raw-uint8 episodes (`FSSDataset.initialize(raw_images=True)` — the
+    train CLI default) images stay uint8 HWC and masks stay binary uint8;
+    normalization/folding runs inside the train step (identical arithmetic,
+    ~8x smaller h2d upload)."""
+    if batch["query_img"].dtype == np.uint8:  # raw path: already HWC
+        q, sup = batch["query_img"], batch["support_imgs"]
+        qm = batch["query_mask"].astype(np.uint8)
+        sm = batch["support_masks"].astype(np.uint8)
+    else:
+        q = np.moveaxis(batch["query_img"], 1, -1).astype(np.float32)
+        sup = np.moveaxis(batch["support_imgs"], 2, -1).astype(np.float32)
+        qm = (np.repeat(batch["query_mask"][:, :, :, None], 3, -1)
+              * 2.0 - 1.0).astype(np.float32)
+        sm = (np.repeat(batch["support_masks"][:, :, :, :, None], 3, -1)
+              * 2.0 - 1.0).astype(np.float32)
     b, n = sup.shape[:2]
     shot_mask = np.zeros((b, n), dtype=bool)
     for i in range(b):
         k = rng.randint(1, max_nshot)
         shot_mask[i, rng.sample(range(n), k)] = True
-    return q.astype(np.float32), qm3.astype(np.float32), sup.astype(np.float32), \
-        sm3.astype(np.float32), shot_mask
+    return q, qm, sup, sm, shot_mask
 
 
 def main(argv=None):
@@ -195,7 +206,8 @@ def main(argv=None):
             print(f"resumed from {ckpt} @ step {global_step}")
 
     # ---- data: round-robin over benchmarks (multitask) ----
-    FSSDataset.initialize(args.resolution, args.datapath)
+    # raw uint8 episodes; the train step normalizes in-graph (same math)
+    FSSDataset.initialize(args.resolution, args.datapath, raw_images=True)
     benchmarks = [b.strip() for b in args.benchmark.split(",") if b.strip()]
     loaders = [
         FSSDataset.build_dataloader(
@@ -243,9 +255,9 @@ def main(argv=None):
         meter = AverageMeter(loader.dataset.benchmark, loader.dataset.class_ids)
         np.random.seed(0)
         for i, vb in zip(range(args.validation_episodes), loader):
-            smask = np.repeat(vb["support_masks"][:, :, None], 3, axis=2) * 2.0 - 1.0
+            smask = vb["support_masks"].astype(np.uint8)
             out = pipe.predict(vb["query_img"], vb["support_imgs"], smask,
-                               out_size=tuple(vb["query_img"].shape[-2:]),
+                               out_size=tuple(vb["query_mask"].shape[-2:]),
                                r_threshold=0.25)
             inter, union = Evaluator.classify_prediction(
                 out.mask.astype(np.int64), vb["query_mask"],

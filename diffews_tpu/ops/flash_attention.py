@@ -222,11 +222,17 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, mask_ref,
 
 def _flash_backward(q, k, v, kv_mask, out, lse, g, scale, block_q, block_k,
                     interpret):
-    """Flash-attention backward: returns (dq, dk, dv)."""
+    """Flash-attention backward: returns (dq, dk, dv).
+
+    KV blocks are clamped to 512 regardless of the forward's choice: the
+    forward wins 1.65x from block_k=2048 (fewer online-softmax rescales),
+    but the backward recomputes p/dp at (bq, bk) f32 in BOTH passes and the
+    bigger tiles slow the full train step 565 vs 471 ms (1x v5e,
+    tools/tpu_train_smoke.py)."""
     bh, sq, d = q.shape
     skv = k.shape[1]
     bq = _pick_block(sq, block_q)
-    bk = _pick_block(skv, block_k)
+    bk = _pick_block(skv, min(block_k, 512))
     kv_blocks, q_blocks = skv // bk, sq // bq
 
     delta = jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)
@@ -358,16 +364,27 @@ def flash_attention(
     scale: Optional[float] = None,
     kv_mask: Optional[jax.Array] = None,
     block_q: int = 512,
-    block_k: int = 512,
+    block_k: Optional[int] = None,
 ) -> jax.Array:
     """Flash attention over (B, Sq, H, D) query and (B, Skv, H, D) key/value.
 
     kv_mask: optional (B, Skv) bool (True = attend).  Returns (B, Sq, H, D).
+
+    block_k defaults to 2048 for head dims <= 128 (the UNet's d=64): the
+    dominant cost at the SD 64^2 stage is the per-KV-block online-softmax
+    rescale chain on the VPU serializing against the MXU, and 4x larger KV
+    blocks cut it 1.65x (1x v5e, tools/tpu_flash_block_scan.py: kv 8192
+    bq512 bk512 14.5 ms / bk2048 8.8 ms; kv 4096: 9.3 / 6.2 ms).  Large
+    head dims (the VAE mid-attention's d=512) keep 512 to fit VMEM
+    (bq*bk f32 probabilities + 3 f32 block casts; bq2048/bk1024 at d=64
+    already OOMs).
     """
     b, sq, h, d = q.shape
     skv = k.shape[1]
     if scale is None:
         scale = d**-0.5
+    if block_k is None:
+        block_k = 2048 if d <= 128 else 512
     interpret = jax.default_backend() != "tpu"
 
     # (B, S, H, D) -> (B*H, S, D)

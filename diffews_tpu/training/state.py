@@ -124,27 +124,42 @@ def make_train_step(
     compilation at SD-2.1 scale.
 
     `batch` fields, each with leading (gas, B) axes:
-      query:    (G, B, H, W, 3) in [-1, 1]
-      q_mask3:  (G, B, H, W, 3) mask as 3-channel [-1, 1]
-      supports: (G, B, N, H, W, 3)
-      s_mask3:  (G, B, N, H, W, 3)
+      query:    (G, B, H, W, 3) in [-1, 1] — or raw uint8 0..255 (the exact
+                host-transform f32 arithmetic then runs in-graph, cutting
+                the h2d upload 4x; see `DiffewsPipeline._x0_latent`)
+      q_mask3:  (G, B, H, W, 3) mask as 3-channel [-1, 1] — or binary
+                (G, B, H, W) {0,1} any dtype, folded in-graph (12x less h2d)
+      supports: (G, B, N, H, W, 3) like query
+      s_mask3:  (G, B, N, H, W, 3) or binary (G, B, N, H, W) like q_mask3
       shot_mask:(G, B, N) bool
     """
     tx = make_optimizer(cfg)
     dt = cfg.compute_dtype
 
+    def norm_img(x):
+        if x.dtype == jnp.uint8:
+            x = (x.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+        return x.astype(dt)
+
+    def norm_mask(m, img_ndim):
+        if m.ndim == img_ndim - 1:  # binary (..., H, W) {0,1}
+            mf = m.astype(jnp.float32) * 2.0 - 1.0
+            return jnp.broadcast_to(mf[..., None], mf.shape + (3,)).astype(dt)
+        return norm_img(m)
+
     def loss_fn(params, vae_params_c, text_embed, micro, rng):
-        q, qm3, sup, sm3, shot_mask = (
-            micro["query"], micro["q_mask3"], micro["supports"],
-            micro["s_mask3"], micro["shot_mask"],
-        )
+        q = norm_img(micro["query"])
+        qm3 = norm_mask(micro["q_mask3"], micro["query"].ndim)
+        sup = norm_img(micro["supports"])
+        sm3 = norm_mask(micro["s_mask3"], micro["supports"].ndim)
+        shot_mask = micro["shot_mask"]
         b, n = sup.shape[0], sup.shape[1]
         flat = jnp.concatenate(
             [
-                q.astype(dt),
-                qm3.astype(dt),
-                sup.reshape((b * n,) + sup.shape[2:]).astype(dt),
-                sm3.reshape((b * n,) + sm3.shape[2:]).astype(dt),
+                q,
+                qm3,
+                sup.reshape((b * n,) + sup.shape[2:]),
+                sm3.reshape((b * n,) + sm3.shape[2:]),
             ],
             axis=0,
         )

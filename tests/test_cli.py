@@ -98,6 +98,33 @@ def test_surgery_cli(workdir, tmp_path):
     assert "conv_in_ref" in p2 and cfg2.ref_in_channels == 8
 
 
+def test_train_cli_end_to_end(workdir, tmp_path):
+    """Two optimizer steps through the real train CLI on synthetic COCO
+    (raw-uint8 episode path), then resume from the written checkpoint."""
+    from diffews_tpu.cli.train import main
+
+    out = tmp_path / "run"
+    common = [
+        "--pretrained_model_name_or_path", str(workdir / "ckpt"),
+        "--datapath", str(workdir / "data"),
+        "--benchmark", "coco", "--fold", "0", "--nshot", "2",
+        "--resolution", "32", "--train_batch_size", "2",
+        "--num_data_shards", "2", "--gradient_accumulation_steps", "2",
+        "--checkpointing_steps", "2", "--logging_steps", "1",
+        "--output_dir", str(out), "--mixed_precision", "no", "--no_remat",
+        "--seed", "0",
+    ]
+    main(common + ["--max_train_steps", "2"])
+    assert (out / "checkpoint-2" / "unet").is_dir()
+    # diffusers-layout checkpoint is loadable and has the dual input convs
+    p, cfg = C.load_unet(str(out / "checkpoint-2" / "unet"))
+    assert "conv_in_ref" in p
+    # resume continues past the restored step and writes the next rotation
+    main(common + ["--max_train_steps", "4",
+                   "--resume_from_checkpoint", "latest"])
+    assert (out / "checkpoint-4" / "unet").is_dir()
+
+
 def test_batched_eval_reproduces_bsz1_metrics(workdir):
     """--bsz N draws the identical seeded episode stream (sequential
     __getitem__ order) and per-episode thresholds, so the mIoU must match

@@ -55,6 +55,40 @@ class TestTrainStep:
         # support stream trained too (no ref*0 hack needed)
         assert float(m1["grad_norm"]) > 0
 
+    def test_uint8_batch_matches_float_batch(self, setup):
+        """Raw uint8 images + binary masks (in-graph normalization) must
+        reproduce the host-normalized float batch.  Same f32 arithmetic,
+        but XLA may FMA-fuse/reassociate the in-graph normalization
+        differently from the host NumPy, so equality is to float tolerance
+        (observed diff ~1e-8), not bitwise."""
+        ucfg, vcfg, up, vp, text = setup
+        cfg = TrainerConfig(gradient_accumulation_steps=2,
+                            compute_dtype=jnp.float32, remat=False)
+        step = jax.jit(make_train_step(cfg, ucfg, vcfg))
+        rng = np.random.default_rng(3)
+        gas, b, n, s = 2, 2, 2, 32
+        q8 = rng.integers(0, 256, (gas, b, s, s, 3), dtype=np.uint8)
+        s8 = rng.integers(0, 256, (gas, b, n, s, s, 3), dtype=np.uint8)
+        qm = (rng.random((gas, b, s, s)) > 0.5).astype(np.uint8)
+        sm = (rng.random((gas, b, n, s, s)) > 0.5).astype(np.uint8)
+        shot = np.ones((gas, b, n), dtype=bool)
+        raw = {"query": q8, "q_mask3": qm, "supports": s8, "s_mask3": sm,
+               "shot_mask": shot}
+        flo = {
+            "query": (q8.astype(np.float32) / 255.0 - 0.5) / 0.5,
+            "q_mask3": np.repeat(qm[..., None].astype(np.float32), 3, -1) * 2 - 1,
+            "supports": (s8.astype(np.float32) / 255.0 - 0.5) / 0.5,
+            "s_mask3": np.repeat(sm[..., None].astype(np.float32), 3, -1) * 2 - 1,
+            "shot_mask": shot,
+        }
+        st_a, m_a = step(init_state(cfg, up), raw, jax.random.PRNGKey(5), vp, text)
+        st_b, m_b = step(init_state(cfg, up), flo, jax.random.PRNGKey(5), vp, text)
+        np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                                   rtol=1e-6)
+        ka = np.asarray(st_a.params["conv_in"]["kernel"])
+        kb = np.asarray(st_b.params["conv_in"]["kernel"])
+        np.testing.assert_allclose(ka, kb, rtol=1e-5, atol=1e-7)
+
     def test_ema_tracks_params(self, setup):
         ucfg, vcfg, up, vp, text = setup
         cfg = TrainerConfig(use_ema=True, gradient_accumulation_steps=1,

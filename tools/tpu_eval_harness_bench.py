@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--dispatch_ahead", type=int, default=2)
     ap.add_argument("--float_ingest", action="store_true",
                     help="A/B: host-normalized f32 episodes (~8x more h2d)")
+    ap.add_argument("--nworker", type=int, default=0,
+                    help=">0 enables the threaded single-producer prefetch "
+                         "(identical episode RNG order; overlaps PIL with "
+                         "device compute)")
     args = ap.parse_args()
 
     import jax
@@ -84,6 +88,7 @@ def main():
             "--datapath", data, "--benchmark", "coco", "--fold", "0",
             "--nshot", str(args.nshot), "--img-size", str(args.img_size),
             "--bsz", str(args.bsz), "--r_threshold", "0.25",
+            "--nworker", str(args.nworker),
             "--half_precision", "--denoise_steps", "1",
             "--log-root", os.path.join(root, "logs"),
             "--dispatch_ahead", str(args.dispatch_ahead),

@@ -58,7 +58,9 @@ def main():
     B = 16  # joint streams at episode batch 8, 1-shot
     temb = jnp.asarray(rng.normal(size=(B, temb_dim)), dt)
 
-    for (hw, c) in [(64, 320), (32, 640), (16, 1280), (8, 1280)]:
+    blocks = [] if "inside" in sys.argv else [(64, 320), (32, 640),
+                                              (16, 1280), (8, 1280)]
+    for (hw, c) in blocks:
         x = jnp.asarray(rng.normal(size=(B, hw, hw, c)), dt)
         p = unet._resnet_params(I.RngStream(key), c, c, temb_dim)
         p = jax.tree_util.tree_map(lambda a: a.astype(dt), p)
@@ -78,7 +80,8 @@ def main():
     # transformer2d blocks at joint shapes (ref stream: self-attn over own
     # tokens; tag stream: fused KV).  Use the real joint path via stream_info.
     ctx = jnp.asarray(rng.normal(size=(B, 2, ucfg.cross_attention_dim)), dt)
-    for (hw, c) in [(64, 320), (32, 640), (16, 1280), (8, 1280)]:
+    for (hw, c) in ([] if "inside" in sys.argv else
+                    [(64, 320), (32, 640), (16, 1280), (8, 1280)]):
         heads = c // 64
         x = jnp.asarray(rng.normal(size=(B, hw, hw, c)), dt)
         p = unet._transformer_params(I.RngStream(key), c, ucfg)
@@ -95,6 +98,40 @@ def main():
                      + 2 * s * c * 8 * c + 2 * s * 4 * c * c)
         print(f"transformer {hw:3d}x{hw:<3d} c{c:<5d} b{B:<3d} (joint attn)"
               f"{'':6s} {t*1e3:8.2f} {flops/t/1e12:7.1f}", flush=True)
+
+    # ---- inside the 64^2 transformer: attn1 / attn2 / ff in isolation ----
+    hw, c = 64, 320
+    heads = c // 64
+    s = hw * hw
+    h = jnp.asarray(rng.normal(size=(B, s, c)), dt)
+    p = unet._transformer_params(I.RngStream(key), c, ucfg)
+    p = jax.tree_util.tree_map(lambda a: a.astype(dt), p)
+    blk = p["transformer_blocks"]["0"]
+
+    f = chain(lambda x, pp: x + unet._attn1(
+        pp["attn1"], L.layer_norm(pp["norm1"], x), heads=heads, ref_rows=8,
+        n_shots=1, shot_mask=None, attn_impl="auto"))
+    t = timeit(f, h, blk) / ITERS
+    fl = B * (4 * 2 * s * c * c) + 8 * (2 * 2 * s * s * c) * 2 + 8 * (2 * 2 * s * s * c)
+    print(f"  attn1 (joint flash + proj){'':18s} {t*1e3:8.2f} {fl/t/1e12:7.1f}",
+          flush=True)
+
+    f = chain(lambda x, pp, cc: x + unet._attn2(
+        pp["attn2"], L.layer_norm(pp["norm2"], x), cc, heads=heads))
+    t = timeit(f, h, blk, ctx) / ITERS
+    print(f"  attn2 (cross, 2-token ctx){'':18s} {t*1e3:8.2f}", flush=True)
+
+    f = chain(lambda x, pp: x + L.geglu_ff(pp["ff"], L.layer_norm(pp["norm3"], x)))
+    t = timeit(f, h, blk) / ITERS
+    fl = B * (2 * s * c * 8 * c + 2 * s * 4 * c * c)
+    print(f"  geglu ff{'':36s} {t*1e3:8.2f} {fl/t/1e12:7.1f}", flush=True)
+
+    # attn1 variants: tag-only (no ref rows) and xla dense, for reference
+    f = chain(lambda x, pp: x + unet._attn1(
+        pp["attn1"], L.layer_norm(pp["norm1"], x), heads=heads, ref_rows=None,
+        n_shots=1, shot_mask=None, attn_impl="auto"))
+    t = timeit(f, h, blk) / ITERS
+    print(f"  attn1 plain self (no ref){'':19s} {t*1e3:8.2f}", flush=True)
 
 
 if __name__ == "__main__":
