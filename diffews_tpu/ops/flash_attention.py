@@ -50,6 +50,16 @@ def _pick_block(size: int, preferred: int) -> int:
     return size
 
 
+# Run ONLY the p@v matmul with bf16 operands (f32 accumulate) when inputs
+# are bf16.  The all-bf16 formulation measured 40% SLOWER (Mosaic relayout
+# of bf16 q/k blocks for the QK^T dot); keeping QK^T in f32 and paying one
+# f32->bf16 pack of the probabilities wins a consistent ~5% (1x v5e,
+# tools/tpu_flash_block_scan.py avdot: kv 8192 8.42 vs 8.82 ms).  f32
+# inputs are unaffected (v stays f32, so p does too) — CPU parity tests
+# and full-precision eval keep exact f32 math.
+AV_BF16 = True
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
                   m_scr, l_scr, acc_scr, *, scale, kv_blocks):
     j = pl.program_id(2)
@@ -62,7 +72,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
 
     q = q_ref[0].astype(jnp.float32)          # (bq, d)
     k = k_ref[0].astype(jnp.float32)          # (bk, d)
-    v = v_ref[0].astype(jnp.float32)          # (bk, d)
+    v = (v_ref[0] if AV_BF16 and v_ref.dtype == jnp.bfloat16
+         else v_ref[0].astype(jnp.float32))   # (bk, d)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -81,7 +92,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
     pv = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     acc_scr[:] = acc_scr[:] * alpha + pv
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)

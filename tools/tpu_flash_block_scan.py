@@ -41,8 +41,19 @@ def main():
         k = jnp.asarray(rng.normal(size=(b, skv, h, d)), dt)
         v = jnp.asarray(rng.normal(size=(b, skv, h, d)), dt)
         flops = 2 * 2 * b * h * sq * skv * d * ITERS
-        for bq in (256, 512, 1024, 2048):
-            for bk in (256, 512, 1024, 2048):
+        if "avdot" in sys.argv:
+            # A/B the bf16 p@v dot at the current best blocks
+            import diffews_tpu.ops.flash_attention as FA
+            FA.AV_BF16 = True
+            grid_pairs = [(512, 2048), (1024, 2048), (512, 1024)]
+        elif "ext" in sys.argv:
+            # single/two-block KV: no (or one) online-softmax rescale at all
+            grid_pairs = [(128, 4096), (256, 4096), (512, 4096),
+                          (128, 8192), (256, 8192), (64, 8192)]
+        else:
+            grid_pairs = [(bq, bk) for bq in (256, 512, 1024, 2048)
+                          for bk in (256, 512, 1024, 2048)]
+        for bq, bk in grid_pairs:
                 if bq > sq or bk > skv:
                     continue
 
