@@ -59,6 +59,11 @@ from diffews_tpu.ops.groupnorm import group_norm_act
 
 _VMEM_BUDGET = 12 << 20
 
+# Timing-ablation knobs for tools/tpu_fused_resnet_bench.py ("ablate" mode):
+# each skips one VPU stage of the kernel (results become WRONG) to bisect
+# the ~43 TF/s plateau.  Never set outside the bench.
+ABLATE = {"silu": False, "mask": False, "rolls": False, "stats": False}
+
 
 def _pick_bh(h: int, w: int, cin: int, cout: int, esize: int = 2) -> int:
     """Largest divisor of h fitting the VMEM budget (2 slots + weights +
@@ -149,15 +154,17 @@ def _kernel(x_hbm, a_ref, b_ref, w_ref, bias_ref, *args,
     wpad = width + 16
     t = slots[slot]                                    # (bh+2, Wpad, Cin)
     actf = t.astype(jnp.float32) * a_ref[0] + b_ref[0]  # f32 affine + SiLU
-    act = actf * jax.nn.sigmoid(actf)
-    # zero the conv padding AFTER the activation (silu(affine(0)) != 0):
-    # everything outside the data columns, row halos at image boundaries
-    row = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, wpad, 1), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, wpad, 1), 1)
-    valid = ((col >= 8) & (col < 8 + width)
-             & ((row >= 1) | (j > 0))
-             & ((row <= bh) | (j < n_h - 1)))
-    act = jnp.where(valid, act, 0.0).astype(t.dtype)   # one cast, bf16 dots
+    act = actf if ABLATE["silu"] else actf * jax.nn.sigmoid(actf)
+    if not ABLATE["mask"]:
+        # zero the conv padding AFTER the activation (silu(affine(0)) != 0):
+        # everything outside the data columns, row halos at image boundaries
+        row = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, wpad, 1), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, wpad, 1), 1)
+        valid = ((col >= 8) & (col < 8 + width)
+                 & ((row >= 1) | (j > 0))
+                 & ((row <= bh) | (j < n_h - 1)))
+        act = jnp.where(valid, act, 0.0)
+    act = act.astype(t.dtype)                          # one cast, bf16 dots
 
     # conv as 3 column-taps, each one (bh*wpad, 3*Cin) @ (3*Cin, Cout) dot:
     # the 3 row-taps concatenate on the LANE dim (free), the dots run over
@@ -173,9 +180,12 @@ def _kernel(x_hbm, a_ref, b_ref, w_ref, bias_ref, *args,
         part = jnp.dot(patch3, w_ref[dw],
                        preferred_element_type=jnp.float32)
         part = part.reshape(bh, wpad, cout)
-        # output col w reads partial col (w+7+dw): roll left by 7+dw
-        # (positive shift: np.roll semantics, wpad-k == roll left by k)
-        acc += pltpu.roll(part, shift=wpad - 7 - dw, axis=1)[:, 0:width, :]
+        if ABLATE["rolls"]:
+            acc += part[:, 0:width, :]
+        else:
+            # output col w reads partial col (w+7+dw): roll left by 7+dw
+            # (positive shift: np.roll semantics, wpad-k == roll left by k)
+            acc += pltpu.roll(part, shift=wpad - 7 - dw, axis=1)[:, 0:width, :]
     acc += bias_ref[0].astype(jnp.float32)
     y = acc.astype(out_dtype)
     if has_res:
@@ -189,8 +199,9 @@ def _kernel(x_hbm, a_ref, b_ref, w_ref, bias_ref, *args,
         acc1[:] = jnp.zeros_like(acc1)
         acc2[:] = jnp.zeros_like(acc2)
 
-    acc1[:] += jnp.sum(yf, axis=0, keepdims=True)
-    acc2[:] += jnp.sum(jnp.square(yf), axis=0, keepdims=True)
+    if not ABLATE["stats"]:
+        acc1[:] += jnp.sum(yf, axis=0, keepdims=True)
+        acc2[:] += jnp.sum(jnp.square(yf), axis=0, keepdims=True)
 
     @pl.when(j == n_h - 1)
     def _():

@@ -89,8 +89,52 @@ def phase2():
             print(f"decode resnet={impl:5s} b{nb:2d}: {t*1e3:7.1f} ms", flush=True)
 
 
+def ablate():
+    """Bisect the kernel's ~43 TF/s plateau: time the pallas kernel with
+    each VPU stage skipped (WRONG results; timing only), at saturated and
+    unsaturated shapes."""
+    print("== ablation: which VPU stage costs what ==", flush=True)
+    for (B, H, C) in [(3, 512, 128), (24, 512, 128), (8, 256, 256)]:
+        r = np.random.default_rng(0)
+        x = jnp.asarray(r.uniform(-1, 1, (B, H, H, C)), dt)
+        a = jnp.asarray(r.uniform(0.5, 1.5, (B, C)), jnp.float32)
+        b = jnp.asarray(r.uniform(-0.2, 0.2, (B, C)), jnp.float32)
+        w = jnp.asarray(r.normal(size=(3, 3, C, C)) * (0.5 / C) ** 0.5, dt)
+        bias = jnp.asarray(r.normal(size=(C,)) * 0.01, jnp.float32)
+        flops = 2 * B * H * H * C * C * 9 * ITERS
+
+        def chain():
+            def f(x, a, b, w, bias):
+                y = x
+                for _ in range(ITERS):
+                    y, s1, s2 = FR.gn_silu_conv3x3(y, a, b, w, bias, y,
+                                                   impl="pallas")
+                return y.astype(jnp.float32).sum() + s1.sum() * 0.0
+            return jax.jit(f)
+
+        for knobs in (
+            {},
+            {"silu": True},
+            {"mask": True},
+            {"rolls": True},
+            {"stats": True},
+            {"silu": True, "mask": True, "rolls": True, "stats": True},
+        ):
+            FR.ABLATE.update({k: False for k in FR.ABLATE})
+            FR.ABLATE.update(knobs)
+            jax.clear_caches()  # knobs are trace-time constants
+            t = timeit(chain(), x, a, b, w, bias) / ITERS
+            name = "+".join(knobs) or "full"
+            print(f"B{B} {H}^2 C{C} skip[{name:26s}] {t*1e3:7.2f} ms "
+                  f"{flops/ITERS/t/1e12:5.1f} TF/s", flush=True)
+        FR.ABLATE.update({k: False for k in FR.ABLATE})
+
+
 if __name__ == "__main__":
     print(jax.devices(), flush=True)
+    if "ablate" in sys.argv:
+        ablate()
+        sys.exit(0)
     if "phase2" not in sys.argv:
         phase1()
     if "phase1" not in sys.argv:
