@@ -37,7 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", type=str, default="logs/diffews-train")
     p.add_argument("--seed", type=int, default=None)
     # data
-    p.add_argument("--datapath", type=str, default="datasets")
+    p.add_argument("--datapath", "--train_data_dir", dest="datapath",
+                   type=str, default="datasets")
     p.add_argument("--benchmark", type=str, default="coco",
                    help="benchmark or comma-list for multitask")
     p.add_argument("--fold", type=int, default=0)
@@ -51,6 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_train_steps", type=int, default=20000)
     p.add_argument("--learning_rate", type=float, default=1e-5)
     p.add_argument("--lr_scheduler", type=str, default="polynomial")
+    p.add_argument("--lr_scheduler_power", type=float, default=1.0)
     p.add_argument("--lr_warmup_steps", type=int, default=0)
     p.add_argument("--reference_lr_quirk", action="store_true",
                    help="advance the LR schedule gas x faster, bit-matching "
@@ -63,7 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_timestep", type=int, default=1)
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--mixed_precision", type=str, default="bf16",
-                   choices=["no", "bf16"])
+                   choices=["no", "bf16", "fp16"],
+                   help="'fp16' (the reference's choice) runs as bf16 — "
+                        "TPU-native mixed precision needs no loss scaling")
     p.add_argument("--attn_impl", type=str, default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--no_remat", action="store_true")
     # parallelism
@@ -89,6 +93,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--validation_steps", type=int, default=0,
                    help="run val episodes every N steps (0 = off)")
     p.add_argument("--validation_episodes", type=int, default=50)
+    # -- accepted-for-compatibility no-ops (reference `train_icl_*_v3.py`
+    # flags with no TPU equivalent; scripts drop in unchanged) --
+    p.add_argument("--enable_xformers_memory_efficient_attention",
+                   action="store_true",
+                   help="no-op: the Pallas flash kernel is the default")
+    p.add_argument("--allow_tf32", action="store_true",
+                   help="no-op: TPU matmuls are bf16/f32 natively")
+    p.add_argument("--tracker_project_name", type=str, default=None,
+                   help="no-op (reference accelerate tracker name)")
+    p.add_argument("--cache_dir", type=str, default=None,
+                   help="no-op (HF hub cache; checkpoints are local dirs)")
+    for col in ("image_ref_column", "image_tag_column",
+                "conditioning_image_ref_column",
+                "conditioning_image_tag_column", "caption_column"):
+        p.add_argument(f"--{col}", type=str, default=None,
+                       help="no-op (HF-datasets column naming; the episodic "
+                            "FSS loader has no column concept)")
     return p
 
 
@@ -162,13 +183,16 @@ def main(argv=None):
         adam_weight_decay=args.adam_weight_decay,
         max_grad_norm=args.max_grad_norm,
         lr_scheduler=args.lr_scheduler,
+        lr_power=args.lr_scheduler_power,
         lr_warmup_steps=args.lr_warmup_steps,
         max_train_steps=args.max_train_steps,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
         train_timestep=args.train_timestep,
         max_nshot=args.nshot,
         use_ema=args.use_ema,
-        compute_dtype=jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32,
+        # fp16 (reference default) runs as bf16: TPU-native, no loss scaling
+        compute_dtype=(jnp.bfloat16 if args.mixed_precision in ("bf16", "fp16")
+                       else jnp.float32),
         attn_impl=args.attn_impl,
         remat=not args.no_remat,
         lr_steps_per_opt_step=(

@@ -40,9 +40,10 @@ def constant(lr_init: float) -> optax.Schedule:
 
 
 def get_schedule(name: str, lr_init: float, num_training_steps: int,
-                 num_warmup_steps: int = 0) -> optax.Schedule:
+                 num_warmup_steps: int = 0, power: float = 1.0) -> optax.Schedule:
     if name == "polynomial":
-        return polynomial_with_warmup(lr_init, num_training_steps, num_warmup_steps)
+        return polynomial_with_warmup(lr_init, num_training_steps, num_warmup_steps,
+                                      power=power)
     if name == "constant":
         return constant(lr_init)
     if name == "cosine":

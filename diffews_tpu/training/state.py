@@ -48,6 +48,7 @@ class TrainerConfig:
     max_grad_norm: float = 1.0
     lr_scheduler: str = "polynomial"
     lr_warmup_steps: int = 0
+    lr_power: float = 1.0  # polynomial decay power (`--lr_scheduler_power`)
     max_train_steps: int = 20000
     gradient_accumulation_steps: int = 4
     train_timestep: int = 1
@@ -84,7 +85,8 @@ class TrainState(NamedTuple):
 
 def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
     base_schedule = lr_lib.get_schedule(
-        cfg.lr_scheduler, cfg.learning_rate, cfg.max_train_steps, cfg.lr_warmup_steps
+        cfg.lr_scheduler, cfg.learning_rate, cfg.max_train_steps,
+        cfg.lr_warmup_steps, power=cfg.lr_power,
     )
     k = cfg.lr_steps_per_opt_step
     schedule = base_schedule if k == 1 else (lambda step: base_schedule(step * k))

@@ -98,6 +98,38 @@ def test_surgery_cli(workdir, tmp_path):
     assert "conv_in_ref" in p2 and cfg2.ref_in_channels == 8
 
 
+def test_reference_script_invocations_accepted():
+    """The exact flag sets the reference's launch scripts pass
+    (`scripts/eval_coco2014_rthres_1shot_nosample.sh`,
+    `scripts/train_cocofold0_*_v3.sh`) must parse — drop-in CLI parity."""
+    import shlex
+
+    from diffews_tpu.cli.evaluate import build_parser as eval_parser
+    from diffews_tpu.cli.train import build_parser as train_parser
+
+    eval_parser().parse_args(shlex.split(
+        "--log-root X --denoise_steps 1 --checkpoint W --unet_ckpt_path M/unet"
+        " --datapath F --benchmark coco --img-size 512 --ensemble_size 1"
+        " --bsz 1 --scheduler_load_path ./s --nshot 1 --fold 0 --threshold 0"
+        " --r_threshold 0.25"))
+    args = train_parser().parse_args(shlex.split(
+        "--mixed_precision=fp16 --train_batch_size=1 --checkpointing_steps 2000"
+        " --pretrained_model_name_or_path=/x --output_dir=/o"
+        " --train_data_dir /data --resolution=512 --learning_rate=1e-5"
+        " --lr_warmup_steps 0 --max_train_steps=20000 --validation_steps 2000"
+        " --lr_scheduler polynomial --lr_scheduler_power 1.0"
+        " --gradient_accumulation_steps=4"
+        " --enable_xformers_memory_efficient_attention --max_grad_norm=1.0"
+        " --adam_weight_decay=1e-2 --tracker_project_name sd21 --seed=42"
+        " --image_ref_column img_ref --image_tag_column img_tag"
+        " --conditioning_image_ref_column a --conditioning_image_tag_column b"
+        " --caption_column text --cache_dir ./cache --allow_tf32"
+        " --dataloader_num_workers=16 --checkpoints_total_limit 10 --nshot 7"
+        " --fold=0 --scheduler_load_path ./s"))
+    assert args.datapath == "/data"  # --train_data_dir alias
+    assert args.mixed_precision == "fp16"  # accepted, runs as bf16
+
+
 def test_train_cli_end_to_end(workdir, tmp_path):
     """Two optimizer steps through the real train CLI on synthetic COCO
     (raw-uint8 episode path), then resume from the written checkpoint."""
