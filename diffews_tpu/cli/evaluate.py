@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the episode batch over this many chips "
                         "(a jax.sharding 'data' mesh; bsz must divide it). "
                         "The reference evaluates on one GPU.")
+    p.add_argument("--encode_chunks", type=int, default=1,
+                   help="run the batched VAE encode as a lax.map over N "
+                        "chunks: same numerics, ~N-fold smaller encode HLO "
+                        "(use when huge episode graphs fail or are slow to "
+                        "compile, e.g. 5-shot at large --bsz)")
     return p
 
 
@@ -107,6 +112,7 @@ def evaluate(args, pipe=None, raw_images: bool = True) -> tuple[float, float]:
             attn_impl=args.attn_impl,
             test_timestep=args.test_timestep,
             mesh=mesh,
+            encode_chunks=args.encode_chunks,
         )
 
     # raw_images: episodes stay uint8 HWC on the host; the pipeline

@@ -80,17 +80,28 @@ class DiffewsPipeline:
         attn_impl: str = "auto",
         test_timestep: int = 1,
         mesh=None,
+        encode_chunks: int = 1,
     ):
         """mesh: optional `jax.sharding.Mesh` with a "data" axis — episode
         batches shard across chips and params replicate (multi-chip serving;
         the reference evaluates on one GPU, `main_oss.py:308`).  Batch size
-        must divide the data-axis size."""
+        must divide the data-axis size.
+
+        encode_chunks: run the batched VAE encode as a `lax.map` over this
+        many equal chunks instead of one flat batch.  Numerics are
+        unchanged (images are independent through the VAE); the HLO shrinks
+        roughly encode_chunks-fold on the encode section, which cuts the
+        remote-compile cost of very large episode graphs (5-shot b8 = 88
+        encoded images crashes the compile helper as one flat batch).
+        Throughput cost is the lost cross-chunk overlap; keep 1 unless
+        compiling fails or takes too long."""
         self.unet_cfg: UNetConfig = bundle.unet_cfg
         self.vae_cfg: VAEConfig = bundle.vae_cfg
         self.scheduler = DDIMScheduler(bundle.scheduler_cfg)
         self.compute_dtype = compute_dtype
         self.attn_impl = attn_impl
         self.test_timestep = test_timestep
+        self.encode_chunks = int(encode_chunks)
 
         self.unet_params = _cast_tree(bundle.unet_params, compute_dtype)
         self.vae_params = _cast_tree(bundle.vae_params, compute_dtype)
@@ -187,9 +198,19 @@ class DiffewsPipeline:
         # 181 ms) — tools/tpu_fused_resnet_bench.py
         resnet_impl = ("fused" if all_imgs.shape[0] <= 4
                        and jax.default_backend() == "tpu" else "auto")
-        lat = vae.encode_mean_latent(vae_params, self.vae_cfg, all_imgs,
-                                     attn_impl=self.attn_impl,
-                                     resnet_impl=resnet_impl)
+        enc = lambda imgs: vae.encode_mean_latent(
+            vae_params, self.vae_cfg, imgs,
+            attn_impl=self.attn_impl, resnet_impl=resnet_impl)
+        nimg = all_imgs.shape[0]
+        if self.encode_chunks > 1 and nimg % self.encode_chunks == 0 \
+                and nimg // self.encode_chunks >= 1:
+            chunked = all_imgs.reshape(
+                (self.encode_chunks, nimg // self.encode_chunks)
+                + all_imgs.shape[1:])
+            lat = jax.lax.map(enc, chunked)
+            lat = lat.reshape((nimg,) + lat.shape[2:])
+        else:
+            lat = enc(all_imgs)
         lh, lw = lat.shape[1:3]
         q_lat = lat[:b]
         s_lat = lat[b : b + b * n].reshape(b, n, lh, lw, -1)

@@ -59,6 +59,24 @@ class TestSegPredict:
         np.testing.assert_array_equal(a.seg_colored, ref.seg_colored)
         np.testing.assert_array_equal(a.mask, ref.mask)
 
+    def test_encode_chunks_same_result(self, pipe):
+        """lax.map-chunked VAE encode must reproduce the flat batch —
+        images are independent through the VAE (chunking only shrinks the
+        compiled graph for huge episode batches)."""
+        from diffews_tpu.pipeline import DiffewsPipeline
+
+        q, sup, msk = _episode(b=2, n=1)
+        bundle = pipe  # reuse the module fixture's bundle via attributes
+        chunked = DiffewsPipeline.__new__(DiffewsPipeline)
+        chunked.__dict__.update(pipe.__dict__)
+        chunked.encode_chunks = 3  # 2*(1+2*1)=6 images -> 3 chunks of 2
+        import jax as _jax
+        chunked._predict_jit = _jax.jit(
+            chunked._predict_impl, static_argnames=("denoising_steps",))
+        a = chunked.predict(q, sup, msk, r_threshold=0.25)
+        b = pipe.predict(q, sup, msk, r_threshold=0.25)
+        np.testing.assert_array_equal(a.seg_colored, b.seg_colored)
+
     def test_multi_step_equals_single_step(self, pipe):
         """Degenerate scheduler: extra denoise steps are no-ops end-to-end
         (SURVEY.md §3.5) — verified through VAE+UNet+decode."""
