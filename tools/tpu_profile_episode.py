@@ -67,31 +67,61 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--target", choices=["episode", "unet"], default="episode")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from __graft_entry__ import entry
     from diffews_tpu.utils import profiling
 
-    fn, a = entry()
-    jfn = jax.jit(lambda *t: fn(*t).astype(jnp.int32).sum())
-    up, vp = a[0], a[1]
     b, n, s = args.batch, 1, 512
     r = np.random.default_rng(0)
     dt = jnp.bfloat16
-    inp = (jnp.asarray(r.uniform(-1, 1, (b, s, s, 3)), dt),
-           jnp.asarray(r.uniform(-1, 1, (b, n, s, s, 3)), dt),
-           jnp.asarray(r.uniform(-1, 1, (b, n, s, s, 3)), dt),
-           jnp.asarray(r.normal(size=(b, 2, 1024)), dt))
+    if args.target == "episode":
+        from __graft_entry__ import entry
+
+        fn, a = entry()
+        jfn = jax.jit(lambda *t: fn(*t).astype(jnp.int32).sum())
+        up, vp = a[0], a[1]
+        inp = (jnp.asarray(r.uniform(-1, 1, (b, s, s, 3)), dt),
+               jnp.asarray(r.uniform(-1, 1, (b, n, s, s, 3)), dt),
+               jnp.asarray(r.uniform(-1, 1, (b, n, s, s, 3)), dt),
+               jnp.asarray(r.normal(size=(b, 2, 1024)), dt))
+    else:
+        from diffews_tpu.configs import UNetConfig
+        from diffews_tpu.models import unet as unet_mod
+
+        ucfg = UNetConfig.sd21()
+        up = jax.jit(lambda k: unet_mod.init_params(k, ucfg))(jax.random.PRNGKey(0))
+        up = jax.tree_util.tree_map(lambda x: x.astype(dt), up)
+        vp = None
+
+        def ufwd(params, q_lat, ref, ctx):
+            return unet_mod.forward(params, ucfg, q_lat, 1, ctx,
+                                    ref_sample=ref, attn_impl="auto")
+
+        jfn = jax.jit(lambda p, *t: ufwd(p, *t).astype(jnp.float32).sum())
+        inp = (jnp.asarray(r.normal(size=(b, 64, 64, 4)), dt),
+               jnp.asarray(r.normal(size=(b, n, 64, 64, 8)), dt),
+               jnp.asarray(r.normal(size=(b, 2, 1024)), dt))
+
+        def call(*_):
+            return jfn(up, *inp)
+
     print("warming (compile)...", flush=True)
-    int(jfn(up, vp, *inp))
+    if args.target == "unet":
+        int(jfn(up, *inp))
+    else:
+        int(jfn(up, vp, *inp))
 
     logdir = tempfile.mkdtemp(prefix="episode_trace_")
     with profiling.trace(logdir):
-        int(jfn(up, vp, *inp))
+        if args.target == "unet":
+            int(jfn(up, *inp))
+        else:
+            int(jfn(up, vp, *inp))
 
     traces = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
                        recursive=True)
@@ -120,7 +150,10 @@ def main():
     print("lowering HLO for fusion signatures (may recompile)...", flush=True)
     sigs = {}
     try:
-        hlo = jfn.lower(up, vp, *inp).compile().as_text()
+        if args.target == "unet":
+            hlo = jfn.lower(up, *inp).compile().as_text()
+        else:
+            hlo = jfn.lower(up, vp, *inp).compile().as_text()
         sigs = hlo_fusion_signatures(hlo)
         print(f"  {len(sigs)} fusion signatures", flush=True)
     except Exception as e:
