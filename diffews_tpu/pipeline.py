@@ -393,6 +393,12 @@ class DiffewsPipeline:
         reference eval harness (`main_oss.py:106-123`).  Only mode='seg'
         ('semseg') is supported — the reference's depth/sr/normal modes sit
         on the vestigial Marigold path (SURVEY.md §2.2).
+
+        ensemble_size is accepted but a single pass is computed: the
+        DiffewS path is fully deterministic (VAE posterior MEAN latent,
+        pipeline `:839-862`; degenerate one-step DDIM), so the reference's
+        ensemble members are bit-identical and their mean (`:468`) equals
+        one member.  All reference eval scripts use --ensemble_size 1.
         """
         if mode not in ("seg", "semseg", "depth"):
             raise NotImplementedError(
