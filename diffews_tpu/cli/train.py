@@ -336,13 +336,16 @@ def main(argv=None):
             run_validation(state, global_step)
 
         if global_step % args.checkpointing_steps == 0 and is_main:
-            path = tck.save_checkpoint(
+            # background write: the multi-GB serialization overlaps the
+            # next training steps (snapshot is taken synchronously)
+            handle = tck.save_checkpoint(
                 args.output_dir, global_step, state, bundle.unet_cfg,
-                args.checkpoints_total_limit,
+                args.checkpoints_total_limit, background=True,
             )
-            print(f"saved {path}")
+            print(f"saving {handle.ckpt_dir} (background)")
 
     if is_main:
+        tck.wait_for_pending_saves()
         tck.save_checkpoint(args.output_dir, global_step, state, bundle.unet_cfg,
                             args.checkpoints_total_limit)
     if writer:

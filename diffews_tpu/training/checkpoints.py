@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 from typing import Optional, Tuple
 
 import jax
@@ -25,29 +26,77 @@ from diffews_tpu.training.state import TrainState
 
 STATE_FILE = "train_state.msgpack"
 
+# at most one background serialization in flight (checkpoints are large;
+# overlapping writes would thrash disk and could reorder rotation)
+_pending: list = []
+
+
+class AsyncSave:
+    """Handle for a background checkpoint write; `.result()` joins."""
+
+    def __init__(self, thread: threading.Thread, ckpt_dir: str):
+        self._thread = thread
+        self.ckpt_dir = ckpt_dir
+
+    def result(self) -> str:
+        self._thread.join()
+        return self.ckpt_dir
+
+
+def wait_for_pending_saves():
+    while _pending:
+        _pending.pop(0).result()
+
 
 def save_checkpoint(output_dir: str, step: int, state: TrainState,
-                    unet_cfg: UNetConfig, total_limit: Optional[int] = None) -> str:
+                    unet_cfg: UNetConfig, total_limit: Optional[int] = None,
+                    background: bool = False):
+    """Serialize `state` under `checkpoint-{step}/` (diffusers layout).
+
+    The device->host snapshot happens synchronously either way (the caller
+    may mutate `state` right after); with `background=True` the multi-GB
+    disk serialization + rotation run in a daemon thread and an
+    `AsyncSave` handle is returned — at SD-2.1 scale this keeps the ~10 s
+    safetensors write off the training loop's critical path.  Writes land
+    in `checkpoint-{step}.tmp` and are renamed at the end, so a crashed
+    write is never picked up by `resume_from_checkpoint latest`.
+    """
+    wait_for_pending_saves()
     ckpt_dir = os.path.join(output_dir, f"checkpoint-{step}")
+    tmp_dir = ckpt_dir + ".tmp"
     params = jax.device_get(state.params)
-    ckpt_lib.save_unet(params, unet_cfg, os.path.join(ckpt_dir, "unet"))
-    if state.ema is not None:
-        ckpt_lib.save_unet(jax.device_get(state.ema.params), unet_cfg,
-                           os.path.join(ckpt_dir, "unet_ema"))
+    ema_params = (jax.device_get(state.ema.params)
+                  if state.ema is not None else None)
     aux = {"opt_state": jax.device_get(state.opt_state), "step": int(state.step),
            "ema_step": int(state.ema.step) if state.ema is not None else 0}
-    with open(os.path.join(ckpt_dir, STATE_FILE), "wb") as f:
-        f.write(serialization.to_bytes(aux))
 
-    if total_limit:
-        rotate_checkpoints(output_dir, total_limit)
+    def write():
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        ckpt_lib.save_unet(params, unet_cfg, os.path.join(tmp_dir, "unet"))
+        if ema_params is not None:
+            ckpt_lib.save_unet(ema_params, unet_cfg,
+                               os.path.join(tmp_dir, "unet_ema"))
+        with open(os.path.join(tmp_dir, STATE_FILE), "wb") as f:
+            f.write(serialization.to_bytes(aux))
+        os.rename(tmp_dir, ckpt_dir)
+        if total_limit:
+            rotate_checkpoints(output_dir, total_limit)
+
+    if background:
+        t = threading.Thread(target=write, daemon=True)
+        t.start()
+        handle = AsyncSave(t, ckpt_dir)
+        _pending.append(handle)
+        return handle
+    write()
     return ckpt_dir
 
 
 def list_checkpoints(output_dir: str):
     if not os.path.isdir(output_dir):
         return []
-    dirs = [d for d in os.listdir(output_dir) if d.startswith("checkpoint-")]
+    dirs = [d for d in os.listdir(output_dir)
+            if d.startswith("checkpoint-") and not d.endswith(".tmp")]
     return sorted(dirs, key=lambda d: int(d.split("-")[1]))
 
 

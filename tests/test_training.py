@@ -143,6 +143,26 @@ class TestTrainStep:
             tck.save_checkpoint(out, s, state, ucfg, total_limit=2)
         assert tck.list_checkpoints(out) == ["checkpoint-2", "checkpoint-3"]
 
+    def test_background_save_and_tmp_isolation(self, setup, tmp_path):
+        """background=True returns a handle whose result is a loadable
+        checkpoint; half-written `.tmp` dirs are invisible to
+        latest/rotation (crash safety)."""
+        ucfg, vcfg, up, vp, text = setup
+        cfg = TrainerConfig(gradient_accumulation_steps=1,
+                            compute_dtype=jnp.float32, remat=False)
+        state = init_state(cfg, up)
+        out = str(tmp_path)
+        # a stale crashed write must be ignored everywhere
+        os.makedirs(os.path.join(out, "checkpoint-99.tmp", "unet"))
+        h = tck.save_checkpoint(out, 5, state, ucfg, total_limit=2,
+                                background=True)
+        assert h.result().endswith("checkpoint-5")
+        assert tck.list_checkpoints(out) == ["checkpoint-5"]
+        assert tck.latest_checkpoint(out).endswith("checkpoint-5")
+        restored, step_no = tck.load_checkpoint(
+            tck.latest_checkpoint(out), init_state(cfg, up))
+        assert step_no == int(state.step)
+
 
 class TestDataParallel:
     def test_dp_step_on_8_device_mesh(self, setup):
