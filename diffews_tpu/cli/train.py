@@ -216,6 +216,11 @@ def main(argv=None):
         lambda x: x.astype(tcfg.compute_dtype), bundle.vae_params
     )
     text_e = jnp.asarray(text_embed)
+    # Drop the bundle's reference to the f32 UNet tree: `state` owns the
+    # live copy, and keeping both costs 3.4 GB of HBM at SD-2.1 scale —
+    # enough to push the 512px step over a 16 GB chip (observed
+    # RESOURCE_EXHAUSTED).  Validation grafts `state.params` back in.
+    bundle.unet_params = None
 
     # ---- resume ----
     global_step = 0
@@ -265,8 +270,14 @@ def main(argv=None):
         from diffews_tpu.pipeline import DiffewsPipeline
 
         if "pipe" not in val_state:
+            import copy as _copy
+
+            # bundle.unet_params was dropped to save HBM; graft the live
+            # training params in for pipeline construction
+            vb = _copy.copy(bundle)
+            vb.unet_params = state.params
             val_state["pipe"] = DiffewsPipeline(
-                bundle, compute_dtype=tcfg.compute_dtype, attn_impl=args.attn_impl
+                vb, compute_dtype=tcfg.compute_dtype, attn_impl=args.attn_impl
             )
             val_state["loader"] = FSSDataset.build_dataloader(
                 benchmarks[0], 1, 0, args.fold, "test", min(args.nshot, 5)

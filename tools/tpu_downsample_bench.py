@@ -65,6 +65,16 @@ def s2d(x, w):
         preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+def stride1_slice(x, w):
+    """Full stride-1 conv (the fast emitter) then ::2 slice — 4x the
+    FLOPs at the ~6x faster rate."""
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((0, 1), (0, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    return y[:, ::2, ::2, :]
+
+
 def main():
     r = np.random.default_rng(0)
     # correctness at small size (f32)
@@ -73,6 +83,9 @@ def main():
     err = float(jnp.max(jnp.abs(native(x, w) - s2d(x, w))))
     print(f"correctness max err (f32, 16^2): {err:.2e}", flush=True)
     assert err < 1e-4
+    err2 = float(jnp.max(jnp.abs(native(x, w) - stride1_slice(x, w))))
+    print(f"stride1+slice correctness: {err2:.2e}", flush=True)
+    assert err2 < 1e-4
 
     for (B, H, C, CO) in [(24, 512, 128, 128), (24, 256, 256, 256),
                           (24, 128, 512, 512)]:
@@ -91,7 +104,8 @@ def main():
                 return y.astype(jnp.float32).sum()
             return jax.jit(f)
 
-        for name, fn in (("native", native), ("s2d", s2d)):
+        for name, fn in (("native", native), ("s2d", s2d),
+                         ("s1+slice", stride1_slice)):
             t = timeit(chain(fn), x, w) / ITERS
             print(f"B{B} {H}^2 C{C}->{CO} {name:7s} {t*1e3:7.2f} ms "
                   f"{flops/ITERS/t/1e12:6.1f} TF/s", flush=True)
