@@ -216,11 +216,17 @@ def main(argv=None):
         lambda x: x.astype(tcfg.compute_dtype), bundle.vae_params
     )
     text_e = jnp.asarray(text_embed)
-    # Drop the bundle's reference to the f32 UNet tree: `state` owns the
-    # live copy, and keeping both costs 3.4 GB of HBM at SD-2.1 scale —
-    # enough to push the 512px step over a 16 GB chip (observed
-    # RESOURCE_EXHAUSTED).  Validation grafts `state.params` back in.
+    # HBM hygiene at SD-2.1 scale (16 GB chip, observed RESOURCE_EXHAUSTED):
+    #  - the bundle's f32 UNet tree duplicates `state.params` -> drop it
+    #    (validation grafts the live training params back in);
+    #  - the CLIP text tower (~1.4 GB f32) is only needed once for the
+    #    frozen empty-prompt embedding -> offload to host (validation
+    #    re-uploads lazily if it ever builds a pipeline);
+    #  - the f32 VAE is superseded by the bf16 working copy -> host too.
     bundle.unet_params = None
+    if bundle.text_params is not None:
+        bundle.text_params = jax.device_get(bundle.text_params)
+    bundle.vae_params = jax.device_get(bundle.vae_params)
 
     # ---- resume ----
     global_step = 0

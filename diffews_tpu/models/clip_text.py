@@ -39,8 +39,11 @@ def forward(params, cfg: CLIPTextConfig, input_ids: jax.Array) -> jax.Array:
     """input_ids: (B, S) int32 -> last hidden state (B, S, hidden) after final LN."""
     b, s = input_ids.shape
     emb = params["embeddings"]
-    x = emb["token_embedding"]["embedding"][input_ids]
-    x = x + emb["position_embedding"]["embedding"][:s][None]
+    # jnp.asarray: params may live host-side as numpy (the train CLI
+    # offloads the frozen text tower after its one-time use); jnp indexing
+    # also keeps gather semantics identical either way
+    x = jnp.asarray(emb["token_embedding"]["embedding"])[jnp.asarray(input_ids)]
+    x = x + jnp.asarray(emb["position_embedding"]["embedding"])[:s][None]
 
     causal = jnp.triu(jnp.full((s, s), -jnp.inf, dtype=jnp.float32), k=1)[None, None]
     eps = cfg.layer_norm_eps
