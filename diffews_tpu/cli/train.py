@@ -363,8 +363,13 @@ def main(argv=None):
 
     if is_main:
         tck.wait_for_pending_saves()
-        tck.save_checkpoint(args.output_dir, global_step, state, bundle.unet_cfg,
-                            args.checkpoints_total_limit)
+        final_dir = os.path.join(args.output_dir, f"checkpoint-{global_step}")
+        if not os.path.isdir(final_dir):
+            # skip the final save when the in-loop cadence already wrote this
+            # exact step (max_train_steps % checkpointing_steps == 0) — the
+            # multi-GB re-serialization would be pure waste
+            tck.save_checkpoint(args.output_dir, global_step, state,
+                                bundle.unet_cfg, args.checkpoints_total_limit)
     if writer:
         writer.close()
     print("training done")

@@ -13,6 +13,7 @@ equivalent).
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import threading
 from typing import Optional, Tuple
@@ -32,14 +33,24 @@ _pending: list = []
 
 
 class AsyncSave:
-    """Handle for a background checkpoint write; `.result()` joins."""
+    """Handle for a background checkpoint write; `.result()` joins and
+    re-raises any exception the worker hit (a silently-failed save must not
+    look like success — rotation may already have deleted older
+    checkpoints)."""
 
     def __init__(self, thread: threading.Thread, ckpt_dir: str):
         self._thread = thread
         self.ckpt_dir = ckpt_dir
+        self.error: Optional[BaseException] = None
 
     def result(self) -> str:
         self._thread.join()
+        if self in _pending:
+            _pending.remove(self)
+        if self.error is not None:
+            raise RuntimeError(
+                f"background checkpoint write to {self.ckpt_dir} failed"
+            ) from self.error
         return self.ckpt_dir
 
 
@@ -78,14 +89,34 @@ def save_checkpoint(output_dir: str, step: int, state: TrainState,
                                os.path.join(tmp_dir, "unet_ema"))
         with open(os.path.join(tmp_dir, STATE_FILE), "wb") as f:
             f.write(serialization.to_bytes(aux))
-        os.rename(tmp_dir, ckpt_dir)
+        if os.path.isdir(ckpt_dir):
+            # Replace-safe: a checkpoint for this step already exists (e.g.
+            # the post-loop save re-saving a step the in-loop cadence already
+            # wrote).  Swap via `.old` so a complete checkpoint stays visible
+            # except for the instant between the two renames; `.old`/`.tmp`
+            # dirs are invisible to list_checkpoints/resume either way.
+            old_dir = ckpt_dir + ".old"
+            shutil.rmtree(old_dir, ignore_errors=True)
+            os.rename(ckpt_dir, old_dir)
+            os.rename(tmp_dir, ckpt_dir)
+            shutil.rmtree(old_dir, ignore_errors=True)
+        else:
+            os.rename(tmp_dir, ckpt_dir)
         if total_limit:
             rotate_checkpoints(output_dir, total_limit)
 
     if background:
-        t = threading.Thread(target=write, daemon=True)
+        handle = AsyncSave(threading.Thread(), ckpt_dir)
+
+        def guarded():
+            try:
+                write()
+            except BaseException as e:  # surfaced by .result()
+                handle.error = e
+
+        t = threading.Thread(target=guarded, daemon=True)
+        handle._thread = t
         t.start()
-        handle = AsyncSave(t, ckpt_dir)
         _pending.append(handle)
         return handle
     write()
@@ -96,7 +127,7 @@ def list_checkpoints(output_dir: str):
     if not os.path.isdir(output_dir):
         return []
     dirs = [d for d in os.listdir(output_dir)
-            if d.startswith("checkpoint-") and not d.endswith(".tmp")]
+            if re.fullmatch(r"checkpoint-\d+", d)]
     return sorted(dirs, key=lambda d: int(d.split("-")[1]))
 
 
