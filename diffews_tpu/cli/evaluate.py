@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "chunks: same numerics, ~N-fold smaller encode HLO "
                         "(use when huge episode graphs fail or are slow to "
                         "compile, e.g. 5-shot at large --bsz)")
+    p.add_argument("--vae_impl", type=str, default="xla",
+                   choices=["xla", "fused", "mixed", "auto"],
+                   help="VAE resnet implementation. Default 'xla' keeps "
+                        "metrics independent of --bsz; 'auto' opts into the "
+                        "small-batch fused Pallas path (faster at bsz<=1 on "
+                        "TPU, batch-dependent rounding)")
     return p
 
 
@@ -113,6 +119,7 @@ def evaluate(args, pipe=None, raw_images: bool = True) -> tuple[float, float]:
             test_timestep=args.test_timestep,
             mesh=mesh,
             encode_chunks=args.encode_chunks,
+            vae_impl=args.vae_impl,
         )
 
     # raw_images: episodes stay uint8 HWC on the host; the pipeline

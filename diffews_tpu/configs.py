@@ -226,6 +226,8 @@ class CLIPTextConfig:
             max_position_embeddings=d.get("max_position_embeddings", 77),
             layer_norm_eps=d.get("layer_norm_eps", 1e-5),
             hidden_act=d.get("hidden_act", "gelu"),
+            bos_token_id=d.get("bos_token_id", 49406),
+            eos_token_id=d.get("eos_token_id", 49407),
         )
 
 

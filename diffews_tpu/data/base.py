@@ -32,11 +32,20 @@ class EpisodicDataset:
         self.split = "val" if split in ("val", "test") else "trn"
         self.shot = shot
         self.use_original_imgsize = use_original_imgsize
+        # When True, get_episode returns {"_finalize": fn} and the expensive
+        # image decode/resize work runs when fn() is called — the loader's
+        # worker pool parallelizes it while episode SAMPLING (all RNG draws)
+        # stays serialized in the producer, preserving the seeded episode
+        # sequence exactly (SURVEY.md §7).
+        self.defer_finalize = False
 
     # -- helpers ------------------------------------------------------------
 
     def _img(self, path: str) -> Image.Image:
-        return Image.open(path).convert("RGB")
+        # Lazy open: PIL reads only the header here (size available); the
+        # full decode happens at convert/resize time inside the transform,
+        # i.e. on a finalize worker when deferral is on.
+        return Image.open(path)
 
     def _episode(
         self,
@@ -51,29 +60,41 @@ class EpisodicDataset:
         org_qry_imsize,
         query_ignore_idx: Optional[np.ndarray] = None,
     ) -> Dict:
-        """Apply transforms and assemble the episode dict (NCHW, [-1,1])."""
-        s = self.transform.img_size
-        q = self.transform(query_img)
-        if not self.use_original_imgsize:
-            query_mask = nearest_resize_mask(query_mask, (s, s))
-            if query_ignore_idx is not None:
-                query_ignore_idx = nearest_resize_mask(query_ignore_idx, (s, s))
-        sup = np.stack([self.transform(im) for im in support_imgs])
-        smasks = np.stack([nearest_resize_mask(m, (s, s)) for m in support_masks])
-        ep = {
-            "rgb_path": rgb_path,
-            "query_img": q,
-            "query_mask": query_mask.astype(np.float32),
-            "query_name": query_name,
-            "org_query_imsize": org_qry_imsize,
-            "support_imgs": sup,
-            "support_masks": smasks,
-            "support_names": support_names,
-            "class_id": int(class_id),
-        }
-        if query_ignore_idx is not None:
-            ep["query_ignore_idx"] = query_ignore_idx.astype(np.float32)
-        return ep
+        """Apply transforms and assemble the episode dict (NCHW, [-1,1]).
+
+        With `defer_finalize` set, returns `{"_finalize": fn}` instead; the
+        loader calls `fn()` (possibly on a worker thread) to run this body.
+        No RNG is consumed past this point in any dataset, so deferral
+        cannot perturb the seeded episode sequence."""
+
+        def finalize():
+            s = self.transform.img_size
+            q = self.transform(query_img)
+            qm, qi = query_mask, query_ignore_idx
+            if not self.use_original_imgsize:
+                qm = nearest_resize_mask(qm, (s, s))
+                if qi is not None:
+                    qi = nearest_resize_mask(qi, (s, s))
+            sup = np.stack([self.transform(im) for im in support_imgs])
+            smasks = np.stack([nearest_resize_mask(m, (s, s)) for m in support_masks])
+            ep = {
+                "rgb_path": rgb_path,
+                "query_img": q,
+                "query_mask": qm.astype(np.float32),
+                "query_name": query_name,
+                "org_query_imsize": org_qry_imsize,
+                "support_imgs": sup,
+                "support_masks": smasks,
+                "support_names": support_names,
+                "class_id": int(class_id),
+            }
+            if qi is not None:
+                ep["query_ignore_idx"] = qi.astype(np.float32)
+            return ep
+
+        if self.defer_finalize:
+            return {"_finalize": finalize}
+        return finalize()
 
     def __getitem__(self, idx: int) -> Dict:
         return self.get_episode(idx)

@@ -1,16 +1,22 @@
-"""Episode loader: batching, shuffling, threaded prefetch.
+"""Episode loader: batching, shuffling, threaded prefetch + parallel decode.
 
 Replaces the reference's torch DataLoader (`evaluation_util/data/dataset.py:
-43-49`) with a NumPy-native loader.  Eval iterates sequentially with no
-workers — required for seeded episode reproducibility (the datasets draw
-from the global NumPy RNG in __getitem__ call order); training shuffles and
-may prefetch with threads (PIL/NumPy release the GIL during decode).
+43-49`) with a NumPy-native loader.  The reference forces nworker=0 for eval
+to keep the seeded episode sequence reproducible (the datasets draw from the
+global NumPy RNG in __getitem__ call order).  Here `num_workers > 0` keeps
+that guarantee while still parallelizing the expensive host work: episode
+SAMPLING (every RNG draw) runs in one in-order producer thread, and when the
+dataset supports `defer_finalize` the image decode/resize work (which
+consumes no RNG — `EpisodicDataset._episode`) is fanned out to a worker
+pool behind it.  PIL/NumPy release the GIL during decode, so threads
+genuinely overlap.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
@@ -26,6 +32,22 @@ def collate(episodes: List[Dict]) -> Dict:
             out[k] = np.asarray(vals)
         else:
             out[k] = vals
+    return out
+
+
+def _resolve(ep: Dict) -> Dict:
+    """Run a deferred episode's finalize closure (decode/resize; no RNG).
+
+    Keys a dataset set on the deferral dict AFTER `_episode` returned (e.g.
+    pascal_part's `ep["category"]`) are carried onto the finalized episode.
+    """
+    fn = ep.get("_finalize")
+    if fn is None:
+        return ep
+    out = fn()
+    for k, v in ep.items():
+        if k != "_finalize":
+            out[k] = v
     return out
 
 
@@ -59,26 +81,49 @@ class EpisodeLoader:
     def __iter__(self) -> Iterator[Dict]:
         if self.num_workers <= 0:
             for batch_idx in self._index_batches():
-                yield collate([self.dataset[i] for i in batch_idx])
+                yield collate([_resolve(self.dataset[i]) for i in batch_idx])
             return
 
         # Threaded prefetch: a producer thread fills a bounded queue so host
         # IO/decoding overlaps device compute.  Episode RNG stays in the
-        # single producer thread, preserving determinism per (seed, order).
-        q: queue.Queue = queue.Queue(maxsize=self.num_workers * 2)
+        # single producer thread, preserving determinism per (seed, order);
+        # with dataset deferral the per-episode decode/resize (no RNG) is
+        # submitted to a pool and resolved in order at collate time.
+        q: queue.Queue = queue.Queue(maxsize=2)
         _SENTINEL = object()
+        defer = getattr(self.dataset, "defer_finalize", None) is not None
+        pool = ThreadPoolExecutor(self.num_workers) if defer else None
+        if defer:
+            self.dataset.defer_finalize = True
 
         def producer():
+            err: Optional[BaseException] = None
             try:
                 for batch_idx in self._index_batches():
-                    q.put(collate([self.dataset[i] for i in batch_idx]))
+                    eps = [self.dataset[i] for i in batch_idx]  # RNG, in order
+                    if pool is not None:
+                        q.put([pool.submit(_resolve, ep) for ep in eps])
+                    else:
+                        q.put([_resolve(ep) for ep in eps])
+            except BaseException as e:  # surfaced to the consumer
+                err = e
             finally:
-                q.put(_SENTINEL)
+                q.put((_SENTINEL, err))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, tuple) and item[0] is _SENTINEL:
+                    if item[1] is not None:
+                        raise item[1]
+                    break
+                if pool is not None:
+                    item = [f.result() for f in item]
+                yield collate(item)
+        finally:
+            if defer:
+                self.dataset.defer_finalize = False
+            if pool is not None:
+                pool.shutdown(wait=False)

@@ -13,12 +13,12 @@ detectron2 `polygons_to_bitmask` — `evaluation_util/data/lvis.py:97-116`,
 
 Each function dispatches to the native C++ codec
 (`diffews_tpu/native/maskcodec.cc`, loaded via ctypes, built lazily) when
-available and falls back to the pure NumPy/PIL implementations below
-(``_py``-suffixed, kept as the test oracle).  The char codec and RLE
-expansion are bit-identical across the two paths; polygon rasterization
-differs at boundary pixels (native implements the COCO upsample-x5
-crossing-parity convention, the fallback uses PIL scanline fill).  Set
-``DIFFEWS_TPU_NATIVE=0`` to force the fallback.
+available and falls back to pure NumPy implementations that are
+BIT-IDENTICAL to the native path — including polygon rasterization, which
+both implement via the COCO upsample-x5 crossing-parity convention — so
+LVIS/PACO/Pascal-Part masks and metrics reproduce exactly between hosts
+with and without a C++ toolchain.  Set ``DIFFEWS_TPU_NATIVE=0`` to force
+the fallback.
 """
 
 from __future__ import annotations
@@ -27,7 +27,6 @@ import ctypes
 from typing import Dict, List, Sequence, Union
 
 import numpy as np
-from PIL import Image, ImageDraw
 
 from diffews_tpu import native as _native
 
@@ -129,6 +128,11 @@ def rle_decode(rle: Dict) -> np.ndarray:
             counts.size, h, w,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         return out
+    return _rle_expand_py(counts, h, w)
+
+
+def _rle_expand_py(counts: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Expand column-major run counts to a row-major (h, w) uint8 mask."""
     vals = np.zeros(len(counts), dtype=np.uint8)
     vals[1::2] = 1
     flat = np.repeat(vals, counts)
@@ -166,14 +170,84 @@ def rle_encode(mask: np.ndarray) -> Dict:
 # ---------------------------------------------------------------------------
 
 
+def _poly_to_counts_py(pts: np.ndarray, h: int, w: int) -> np.ndarray:
+    """One polygon ((k, 2) float64 points) -> column-major run counts, via
+    the COCO crossing-parity convention (upsample x5 + round, walk every
+    lattice point of every edge, column-boundary crossings, fill by
+    parity).  Line-for-line NumPy port of `maskcodec.cc::poly_to_counts`;
+    bit-identical output (both compute in float64)."""
+    k = pts.shape[0]
+    if k < 3:
+        return np.asarray([h * w], np.int64)
+    scale = 5.0
+    x = np.floor(scale * pts[:, 0] + 0.5).astype(np.int64)
+    y = np.floor(scale * pts[:, 1] + 0.5).astype(np.int64)
+    x = np.append(x, x[0])
+    y = np.append(y, y[0])
+
+    # every lattice point along every (upsampled) edge, in edge order
+    us: List[np.ndarray] = []
+    vs: List[np.ndarray] = []
+    for j in range(k):
+        xs, xe, ys, ye = int(x[j]), int(x[j + 1]), int(y[j]), int(y[j + 1])
+        dx, dy = abs(xe - xs), abs(ye - ys)
+        flip = (dx >= dy and xs > xe) or (dx < dy and ys > ye)
+        if flip:
+            xs, xe, ys, ye = xe, xs, ye, ys
+        if dx >= dy:
+            s = 0.0 if dx == 0 else (ye - ys) / dx
+            d = np.arange(dx + 1, dtype=np.int64)
+            t = (dx - d) if flip else d
+            us.append(t + xs)
+            vs.append(np.floor(ys + s * t + 0.5).astype(np.int64))
+        else:
+            s = 0.0 if dy == 0 else (xe - xs) / dy
+            d = np.arange(dy + 1, dtype=np.int64)
+            t = (dy - d) if flip else d
+            vs.append(t + ys)
+            us.append(np.floor(xs + s * t + 0.5).astype(np.int64))
+    u = np.concatenate(us)
+    v = np.concatenate(vs)
+
+    # column-boundary crossings, downsampled to pixel resolution
+    j = np.nonzero(u[1:] != u[:-1])[0] + 1
+    uj, ujm = u[j], u[j - 1]
+    xd = np.where(uj < ujm, uj, uj - 1).astype(np.float64)
+    xd = (xd + 0.5) / scale - 0.5
+    ok = (np.floor(xd) == xd) & (xd >= 0) & (xd <= w - 1)
+    yd = np.minimum(v[j], v[j - 1]).astype(np.float64)
+    yd = (yd + 0.5) / scale - 0.5
+    yd = np.ceil(np.clip(yd, 0.0, float(h)))
+    cx = xd[ok].astype(np.int64)
+    cy = yd[ok].astype(np.int64)
+
+    # crossings -> run counts by parity, in column-major flat order
+    a = np.sort(np.concatenate([cx * h + cy, [h * w]]))
+    d = np.diff(np.concatenate([[np.int64(0)], a]))
+    # zero-length runs mean two crossings coincide: the parity flips cancel,
+    # so the NEXT run extends the PREVIOUS one instead of starting a new one
+    counts = [int(d[0])]
+    i = 1
+    while i < len(d):
+        if d[i] > 0:
+            counts.append(int(d[i]))
+            i += 1
+        else:
+            i += 1
+            if i < len(d):
+                counts[-1] += int(d[i])
+                i += 1
+    return np.asarray(counts, np.int64)
+
+
 def polygons_to_bitmask(polygons: Sequence[np.ndarray], height: int, width: int) -> np.ndarray:
     """Rasterize COCO polygon list ([x0,y0,x1,y1,...] flat arrays) to a mask.
 
-    Union of filled polygons with boundary pixels included (pycocotools'
-    rasterization includes the outline).
+    Union of filled polygons via the COCO crossing-parity convention
+    (outline pixels included); native and NumPy paths are bit-identical.
     """
-    if len(polygons) == 0:
-        return np.zeros((height, width), dtype=bool)
+    if len(polygons) == 0 or height <= 0 or width <= 0:
+        return np.zeros((max(height, 0), max(width, 0)), dtype=bool)
     lib = _native.load()
     if lib is not None:
         flats = [np.ascontiguousarray(np.asarray(p, np.float64).reshape(-1))
@@ -188,14 +262,14 @@ def polygons_to_bitmask(polygons: Sequence[np.ndarray], height: int, width: int)
             lens.size, height, width,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         return out.astype(bool)
-    img = Image.new("1", (width, height), 0)
-    draw = ImageDraw.Draw(img)
+    out = np.zeros((height, width), dtype=bool)
     for p in polygons:
         pts = np.asarray(p, dtype=np.float64).reshape(-1, 2)
         if len(pts) < 3:
             continue
-        draw.polygon([(float(x), float(y)) for x, y in pts], outline=1, fill=1)
-    return np.asarray(img, dtype=bool)
+        counts = _poly_to_counts_py(pts, height, width)
+        out |= _rle_expand_py(counts, height, width).astype(bool)
+    return out
 
 
 def segmentation_to_mask(segm, height: int, width: int) -> np.ndarray:

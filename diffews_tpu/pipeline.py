@@ -81,6 +81,7 @@ class DiffewsPipeline:
         test_timestep: int = 1,
         mesh=None,
         encode_chunks: int = 1,
+        vae_impl: str = "xla",
     ):
         """mesh: optional `jax.sharding.Mesh` with a "data" axis — episode
         batches shard across chips and params replicate (multi-chip serving;
@@ -94,7 +95,17 @@ class DiffewsPipeline:
         remote-compile cost of very large episode graphs (5-shot b8 = 88
         encoded images crashes the compile helper as one flat batch).
         Throughput cost is the lost cross-chunk overlap; keep 1 unless
-        compiling fails or takes too long."""
+        compiling fails or takes too long.
+
+        vae_impl: resnet implementation for the VAE ("xla" | "fused" |
+        "mixed" | "auto").  Default "xla" keeps eval numerics independent
+        of --bsz: the fused Pallas chain's GroupNorm (sum/sumsq affine)
+        rounds differently from XLA, so auto-switching on batch size would
+        make metrics batch-dependent on TPU.  "auto" opts into the measured
+        small-batch heuristic (fused when the encode batch is <= 4 images
+        on TPU: b3 encode 55.9 vs 74.6 ms on 1x v5e) at the cost of that
+        invariance; "fused"/"mixed" force a fixed choice (batch-invariant
+        again, different rounding than "xla")."""
         self.unet_cfg: UNetConfig = bundle.unet_cfg
         self.vae_cfg: VAEConfig = bundle.vae_cfg
         self.scheduler = DDIMScheduler(bundle.scheduler_cfg)
@@ -102,6 +113,7 @@ class DiffewsPipeline:
         self.attn_impl = attn_impl
         self.test_timestep = test_timestep
         self.encode_chunks = int(encode_chunks)
+        self.vae_impl = vae_impl
 
         self.unet_params = _cast_tree(bundle.unet_params, compute_dtype)
         self.vae_params = _cast_tree(bundle.vae_params, compute_dtype)
@@ -192,12 +204,17 @@ class DiffewsPipeline:
             ],
             axis=0,
         )
-        # small encode batches can't saturate XLA's spatially-partitioned
-        # convs; the fused Pallas resnet chain wins there (1x v5e: b3 encode
-        # 55.9 vs 74.6 ms) but loses once the chip saturates (b24: 226 vs
-        # 181 ms) — tools/tpu_fused_resnet_bench.py
-        resnet_impl = ("fused" if all_imgs.shape[0] <= 4
-                       and jax.default_backend() == "tpu" else "auto")
+        if self.vae_impl == "auto":
+            # opt-in heuristic: small encode batches can't saturate XLA's
+            # spatially-partitioned convs; the fused Pallas resnet chain wins
+            # there (1x v5e: b3 encode 55.9 vs 74.6 ms) but loses once the
+            # chip saturates (b24: 226 vs 181 ms) —
+            # tools/tpu_fused_resnet_bench.py.  Rounding differs between the
+            # two paths, hence not the default (see __init__).
+            resnet_impl = ("fused" if all_imgs.shape[0] <= 4
+                           and jax.default_backend() == "tpu" else "xla")
+        else:
+            resnet_impl = self.vae_impl
         enc = lambda imgs: vae.encode_mean_latent(
             vae_params, self.vae_cfg, imgs,
             attn_impl=self.attn_impl, resnet_impl=resnet_impl)

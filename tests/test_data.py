@@ -228,14 +228,54 @@ class TestLoader:
         assert batch["class_id"].shape == (2,)
 
     def test_threaded_prefetch_same_episodes(self, tmp_path):
+        """num_workers>0 fans the decode/resize out to a pool (deferred
+        finalize) but the seeded episode STREAM — names and pixel tensors —
+        must be byte-identical to the sequential loader."""
         syn.make_coco(str(tmp_path))
         FSSDataset.initialize(32, str(tmp_path))
         ds = FSSDataset.build_dataset("coco", fold=0, split="test", shot=1)
         np.random.seed(0)
-        seq = [b["query_name"][0] for _, b in zip(range(6), EpisodeLoader(ds, 1))]
+        seq = [b for _, b in zip(range(6), EpisodeLoader(ds, 1))]
+        assert ds.defer_finalize is False
         np.random.seed(0)
-        thr = [b["query_name"][0] for _, b in zip(range(6), EpisodeLoader(ds, 1, num_workers=2))]
-        assert seq == thr
+        thr = [b for _, b in zip(range(6), EpisodeLoader(ds, 1, num_workers=2))]
+        assert ds.defer_finalize is False  # restored after iteration
+        for a, b in zip(seq, thr):
+            assert a["query_name"] == b["query_name"]
+            assert a["support_names"] == b["support_names"]
+            np.testing.assert_array_equal(a["query_img"], b["query_img"])
+            np.testing.assert_array_equal(a["support_imgs"], b["support_imgs"])
+            np.testing.assert_array_equal(a["query_mask"], b["query_mask"])
+
+    def test_workers_carry_post_episode_keys(self, tmp_path):
+        """pascal_part sets ep['category'] AFTER _episode returns; the
+        deferral path must carry such keys onto the finalized episode."""
+        syn.make_pascal_part(str(tmp_path))
+        FSSDataset.initialize(32, str(tmp_path))
+        ds = FSSDataset.build_dataset("pascal_part", fold=0, split="test", shot=1)
+        np.random.seed(0)
+        batch = next(iter(EpisodeLoader(ds, 2, num_workers=2)))
+        assert batch["query_img"].shape == (2, 3, 32, 32)
+        assert all(c in ("dog+HEAD", "cat+TORSO") for c in batch["category"])
+
+    def test_worker_exception_surfaces(self, tmp_path):
+        syn.make_coco(str(tmp_path))
+        FSSDataset.initialize(32, str(tmp_path))
+        ds = FSSDataset.build_dataset("coco", fold=0, split="test", shot=1)
+        orig = ds.get_episode
+        calls = []
+
+        def boom(idx):
+            calls.append(idx)
+            if len(calls) == 3:
+                raise RuntimeError("bad episode")
+            return orig(idx)
+
+        ds.get_episode = boom
+        np.random.seed(0)
+        with pytest.raises(RuntimeError, match="bad episode"):
+            for _ in EpisodeLoader(ds, 1, num_workers=2):
+                pass
 
 
 class TestPartBenchmarks:

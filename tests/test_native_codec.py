@@ -97,27 +97,40 @@ class TestPolygons:
         m = masks.polygons_to_bitmask(polys, 8, 8)
         assert m[1, 1] and m[5, 5] and not m[3, 3]
 
-    def test_close_to_pil_fallback(self, monkeypatch):
+    def test_bit_identical_to_numpy_fallback(self, monkeypatch):
+        """Both paths implement the COCO crossing-parity convention; masks
+        must reproduce EXACTLY between hosts with and without a compiler
+        (non-convex, multi-polygon, and tiny shapes included)."""
         rng = np.random.default_rng(1)
-        for _ in range(8):
-            # random convex-ish polygon: sorted angles around a center
-            k = int(rng.integers(3, 9))
+        for trial in range(16):
+            k = int(rng.integers(3, 13))
             ang = np.sort(rng.uniform(0, 2 * np.pi, k))
-            r = rng.uniform(20, 60, k)
-            cx, cy = rng.uniform(70, 130, 2)
+            r = rng.uniform(3, 80, k)  # wildly varying radii -> non-convex
+            cx, cy = rng.uniform(30, 170, 2)
             xs = cx + r * np.cos(ang)
             ys = cy + r * np.sin(ang)
             poly = [np.stack([xs, ys], -1).reshape(-1)]
+            if trial % 3 == 0:  # multi-polygon union
+                poly.append(poly[0] + rng.uniform(-15, 15))
             m_n = masks.polygons_to_bitmask(poly, 200, 200)
             monkeypatch.setenv("DIFFEWS_TPU_NATIVE", "0")
             m_p = masks.polygons_to_bitmask(poly, 200, 200)
             monkeypatch.setenv("DIFFEWS_TPU_NATIVE", "1")
-            inter = (m_n & m_p).sum()
-            union = (m_n | m_p).sum()
-            assert union > 0
-            # conventions differ by one boundary row/col (PIL fill is
-            # outline-inclusive); radii >=20px keep that under ~10%
-            assert inter / union > 0.90, inter / union
+            assert m_n.sum() > 0
+            np.testing.assert_array_equal(m_n, m_p)
+
+    def test_fallback_rectangle_and_clipping(self, monkeypatch):
+        """Pure-NumPy path alone: same convention pins as the native tests."""
+        monkeypatch.setenv("DIFFEWS_TPU_NATIVE", "0")
+        m = masks.polygons_to_bitmask(
+            [np.array([1, 1, 1, 4, 4, 4, 4, 1], np.float64)], 6, 7)
+        exp = np.zeros((6, 7), bool)
+        exp[1:4, 1:4] = True
+        np.testing.assert_array_equal(m, exp)
+        m = masks.polygons_to_bitmask(
+            [np.array([-10, -10, -10, 30, 30, 30, 30, -10], np.float64)],
+            20, 20)
+        assert m.all()
 
     def test_out_of_bounds_clipped(self):
         # polygon hanging off every edge must clip, not crash
