@@ -85,7 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume_from_checkpoint", type=str, default=None,
                    help="'latest' or a checkpoint-N dir")
     p.add_argument("--report_to", type=str, default="none",
-                   choices=["none", "tensorboard"])
+                   choices=["none", "tensorboard", "wandb"],
+                   help="experiment tracker (reference `--report_to`, "
+                        "`train_icl_*_v3.py:306-314`); wandb degrades to a "
+                        "warning when the package is not installed")
     p.add_argument("--logging_steps", type=int, default=50)
     # periodic validation (counterpart of log_validation + eval_results.txt,
     # `train_icl_*_v3.py:173-326,1436-1441` — enabled here, unlike the
@@ -93,6 +96,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--validation_steps", type=int, default=0,
                    help="run val episodes every N steps (0 = off)")
     p.add_argument("--validation_episodes", type=int, default=50)
+    p.add_argument("--validation_image_grids", type=int, default=4,
+                   help="save the first N validation episodes as image "
+                        "strips under {output_dir}/validation/ (reference "
+                        "log_validation grids, `train_icl_*_v3.py:173-326`; "
+                        "0 = off)")
     # -- accepted-for-compatibility no-ops (reference `train_icl_*_v3.py`
     # flags with no TPU equivalent; scripts drop in unchanged) --
     p.add_argument("--enable_xformers_memory_efficient_attention",
@@ -101,7 +109,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--allow_tf32", action="store_true",
                    help="no-op: TPU matmuls are bf16/f32 natively")
     p.add_argument("--tracker_project_name", type=str, default=None,
-                   help="no-op (reference accelerate tracker name)")
+                   help="wandb project name (reference accelerate tracker "
+                        "name, `train_icl_*_v3.py:306-314`)")
     p.add_argument("--cache_dir", type=str, default=None,
                    help="no-op (HF hub cache; checkpoints are local dirs)")
     for col in ("image_ref_column", "image_tag_column",
@@ -260,10 +269,36 @@ def main(argv=None):
     robin = itertools.cycle(streams)
 
     writer = None
+    wandb_run = None
     if args.report_to == "tensorboard":
         from torch.utils.tensorboard import SummaryWriter
 
         writer = SummaryWriter(os.path.join(args.output_dir, "tb"))
+    elif args.report_to == "wandb":
+        try:
+            import wandb
+
+            wandb_run = wandb.init(
+                project=args.tracker_project_name or "diffews_tpu",
+                dir=args.output_dir, config=vars(args),
+            )
+        except ImportError:
+            print("WARNING: --report_to wandb requested but wandb is not "
+                  "installed; continuing without a tracker")
+
+    def log_scalar(tag, value, step):
+        if writer:
+            writer.add_scalar(tag, value, step)
+        if wandb_run:
+            wandb_run.log({tag: value}, step=step)
+
+    def log_image(tag, img_hwc_uint8, step):
+        if writer:
+            writer.add_image(tag, img_hwc_uint8, step, dataformats="HWC")
+        if wandb_run:
+            import wandb
+
+            wandb_run.log({tag: wandb.Image(img_hwc_uint8)}, step=step)
 
     # ---- lazy validation pipeline (shares the frozen VAE/text weights;
     # UNet params are swapped in from the live train state) ----
@@ -295,6 +330,7 @@ def main(argv=None):
         loader = val_state["loader"]
         meter = AverageMeter(loader.dataset.benchmark, loader.dataset.class_ids)
         np.random.seed(0)
+        grid_dir = os.path.join(args.output_dir, "validation")
         for i, vb in zip(range(args.validation_episodes), loader):
             smask = vb["support_masks"].astype(np.uint8)
             out = pipe.predict(vb["query_img"], vb["support_imgs"], smask,
@@ -304,13 +340,28 @@ def main(argv=None):
                 out.mask.astype(np.int64), vb["query_mask"],
                 vb.get("query_ignore_idx"))
             meter.update(inter, union, vb["class_id"])
+            if i < args.validation_image_grids:
+                # reference log_validation's image grids
+                # (`train_icl_*_v3.py:173-326`): [supports | query+gt |
+                # query+pred] strip per episode, saved + sent to the tracker
+                from PIL import Image as _Image
+
+                from diffews_tpu.evaluation.vis import episode_strip
+
+                strip = episode_strip(
+                    vb["support_imgs"][0], vb["support_masks"][0],
+                    vb["query_img"][0], vb["query_mask"][0],
+                    out.mask[0].astype(np.uint8))
+                os.makedirs(grid_dir, exist_ok=True)
+                _Image.fromarray(strip).save(
+                    os.path.join(grid_dir, f"step-{step}_ep-{i}.jpg"))
+                log_image(f"validation/ep{i}", strip, step)
         miou, fb_iou, _ = meter.compute_iou()
         line = f"step {step}: val mIoU {miou:.2f} FB-IoU {fb_iou:.2f} ({args.validation_episodes} eps)"
         print(line)
         with open(os.path.join(args.output_dir, "eval_results.txt"), "a") as f:
             f.write(line + "\n")
-        if writer:
-            writer.add_scalar("val_miou", miou, step)
+        log_scalar("val_miou", miou, step)
         return miou
 
     batch_sh = mesh_lib.batch_sharding(m)
@@ -345,8 +396,7 @@ def main(argv=None):
             rate = global_step / (time.time() - t0)
             print(f"step {global_step}/{args.max_train_steps} "
                   f"loss {loss:.5f} ({rate:.2f} opt-steps/s)")
-            if writer:
-                writer.add_scalar("train_loss", loss, global_step)
+            log_scalar("train_loss", loss, global_step)
 
         if args.validation_steps and global_step % args.validation_steps == 0 \
                 and is_main:

@@ -33,6 +33,26 @@ def _overlay(img: np.ndarray, mask: np.ndarray, alpha=0.5) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+def episode_strip(support_imgs, support_masks, query_img, query_mask,
+                  pred_mask) -> np.ndarray:
+    """One episode -> horizontal [supports+mask | query+gt | query+pred]
+    uint8 strip (the reference's per-episode panel layout, `vis.py:30-74`).
+
+    support_imgs: (N,3,H,W) [-1,1] or (N,H,W,3) uint8; support_masks
+    (N,H,W) binary or (N,3,H,W) [-1,1]; query_img (3,H,W)/(H,W,3);
+    query_mask/pred_mask (H,W).
+    """
+    panels = []
+    for s in range(support_imgs.shape[0]):
+        sm = support_masks[s]
+        if sm.ndim == 3:  # (3,H,W) in [-1,1] -> binary
+            sm = sm[0] > 0
+        panels.append(_overlay(_denorm(support_imgs[s]), sm))
+    panels.append(_overlay(_denorm(query_img), query_mask))
+    panels.append(_overlay(_denorm(query_img), pred_mask))
+    return np.concatenate(panels, axis=1)
+
+
 class Visualizer:
     visualize: bool = False
     vis_path: str = "./vis"
@@ -52,15 +72,8 @@ class Visualizer:
         if not cls.visualize:
             return
         for b in range(query_img.shape[0]):
-            panels = []
-            for s in range(support_imgs.shape[1]):
-                sm = support_masks[b, s]
-                if sm.ndim == 3:  # (3,H,W) in [-1,1] -> binary
-                    sm = sm[0] > 0
-                panels.append(_overlay(_denorm(support_imgs[b, s]), sm))
-            panels.append(_overlay(_denorm(query_img[b]), query_mask[b]))
-            panels.append(_overlay(_denorm(query_img[b]), pred_mask[b]))
-            strip = np.concatenate(panels, axis=1)
+            strip = episode_strip(support_imgs[b], support_masks[b],
+                                  query_img[b], query_mask[b], pred_mask[b])
             tag = f"{batch_idx}_class-{int(np.atleast_1d(class_id)[b])}"
             if iou is not None:
                 tag += f"_iou-{float(np.atleast_1d(iou)[b]):.2f}"

@@ -146,8 +146,13 @@ def test_train_cli_end_to_end(workdir, tmp_path):
         "--output_dir", str(out), "--mixed_precision", "no", "--no_remat",
         "--seed", "0",
     ]
-    main(common + ["--max_train_steps", "2"])
+    main(common + ["--max_train_steps", "2", "--validation_steps", "2",
+                   "--validation_episodes", "2",
+                   "--validation_image_grids", "1"])
     assert (out / "checkpoint-2" / "unet").is_dir()
+    # periodic validation wrote its episode strip grid + metric line
+    assert (out / "validation" / "step-2_ep-0.jpg").is_file()
+    assert "val mIoU" in (out / "eval_results.txt").read_text()
     # diffusers-layout checkpoint is loadable and has the dual input convs
     p, cfg = C.load_unet(str(out / "checkpoint-2" / "unet"))
     assert "conv_in_ref" in p
