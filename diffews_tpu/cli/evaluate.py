@@ -67,11 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the episode batch over this many chips "
                         "(a jax.sharding 'data' mesh; bsz must divide it). "
                         "The reference evaluates on one GPU.")
-    p.add_argument("--encode_chunks", type=int, default=1,
+    p.add_argument("--encode_chunks", type=int, default=0,
                    help="run the batched VAE encode as a lax.map over N "
                         "chunks: same numerics, ~N-fold smaller encode HLO "
-                        "(use when huge episode graphs fail or are slow to "
-                        "compile, e.g. 5-shot at large --bsz)")
+                        "(huge episode graphs, e.g. 5-shot at large --bsz, "
+                        "fail or are slow to compile). 0 = auto: chunk only "
+                        "past 48 encoded images")
     p.add_argument("--vae_impl", type=str, default="xla",
                    choices=["xla", "fused", "mixed", "auto"],
                    help="VAE resnet implementation. Default 'xla' keeps "

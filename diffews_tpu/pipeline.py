@@ -80,7 +80,7 @@ class DiffewsPipeline:
         attn_impl: str = "auto",
         test_timestep: int = 1,
         mesh=None,
-        encode_chunks: int = 1,
+        encode_chunks: int = 0,
         vae_impl: str = "xla",
     ):
         """mesh: optional `jax.sharding.Mesh` with a "data" axis — episode
@@ -94,8 +94,10 @@ class DiffewsPipeline:
         roughly encode_chunks-fold on the encode section, which cuts the
         remote-compile cost of very large episode graphs (5-shot b8 = 88
         encoded images crashes the compile helper as one flat batch).
-        Throughput cost is the lost cross-chunk overlap; keep 1 unless
-        compiling fails or takes too long.
+        Throughput cost is the lost cross-chunk overlap.  0 (default) =
+        AUTO: one flat batch up to 48 encoded images (the chip saturates
+        by ~24, and 44 images — 5-shot b4 — compiles fine), else the
+        smallest divisor of the image count that brings a chunk to <=48.
 
         vae_impl: resnet implementation for the VAE ("xla" | "fused" |
         "mixed" | "auto").  Default "xla" keeps eval numerics independent
@@ -219,11 +221,14 @@ class DiffewsPipeline:
             vae_params, self.vae_cfg, imgs,
             attn_impl=self.attn_impl, resnet_impl=resnet_impl)
         nimg = all_imgs.shape[0]
-        if self.encode_chunks > 1 and nimg % self.encode_chunks == 0 \
-                and nimg // self.encode_chunks >= 1:
+        chunks = self.encode_chunks
+        if chunks == 0:  # auto (see __init__ docstring)
+            chunks = 1
+            while nimg // chunks > 48 or nimg % chunks:
+                chunks += 1
+        if chunks > 1 and nimg % chunks == 0:
             chunked = all_imgs.reshape(
-                (self.encode_chunks, nimg // self.encode_chunks)
-                + all_imgs.shape[1:])
+                (chunks, nimg // chunks) + all_imgs.shape[1:])
             lat = jax.lax.map(enc, chunked)
             lat = lat.reshape((nimg,) + lat.shape[2:])
         else:

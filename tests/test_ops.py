@@ -5,6 +5,8 @@ the op level (conv/groupnorm/layernorm/attention/resize vs torch) plus
 architecture-level invariants in test_models.py (SURVEY.md §4 test plan).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -48,6 +50,32 @@ class TestConvGroupNorm:
         yt = F.conv2d(xt, torch.from_numpy(w).permute(3, 2, 0, 1),
                       torch.from_numpy(b), stride=2).permute(0, 2, 3, 1)
         np.testing.assert_allclose(np.asarray(y), yt.numpy(), rtol=1e-4, atol=1e-4)
+
+    def test_pallas_downsample_kernel_matches_xla(self):
+        """The (dead-end but kept) Pallas stride-2 downsample kernel
+        (`ops/downsample.py`) in interpret mode vs the XLA reference,
+        including the grad path (custom_vjp routes backward through
+        jax.vjp of the XLA formulation)."""
+        from diffews_tpu.ops.downsample import downsample_conv2x, _xla_reference
+
+        r = np.random.default_rng(7)
+        x = jnp.asarray(r.normal(size=(2, 16, 16, 8)), jnp.float32)
+        w = jnp.asarray(r.normal(size=(3, 3, 8, 8)) * 0.2, jnp.float32)
+        b = jnp.asarray(r.normal(size=(8,)), jnp.float32)
+        ref = _xla_reference(x, w, b)
+        got = downsample_conv2x(x, w, b, "interpret")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        assert downsample_conv2x(x, w, b, "auto").shape == ref.shape
+
+        def loss(impl, x, w, b):
+            return (downsample_conv2x(x, w, b, impl) ** 2).sum()
+
+        g_ref = jax.grad(functools.partial(loss, "xla"), (0, 1, 2))(x, w, b)
+        g_got = jax.grad(functools.partial(loss, "interpret"), (0, 1, 2))(x, w, b)
+        for a, c in zip(g_got, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-4, atol=1e-4)
 
     def test_group_norm_matches_torch(self):
         x = _rand(2, 4, 4, 32)

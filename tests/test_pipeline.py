@@ -77,6 +77,36 @@ class TestSegPredict:
         b = pipe.predict(q, sup, msk, r_threshold=0.25)
         np.testing.assert_array_equal(a.seg_colored, b.seg_colored)
 
+    def test_encode_chunks_auto_splits_huge_batches(self, pipe):
+        """encode_chunks=0 (auto) must keep flat batches <=48 images flat
+        and split anything larger into the smallest even chunking — the
+        5-shot b8 episode graph (88 images) crashed the remote compile
+        helper as one flat batch."""
+        from diffews_tpu.pipeline import DiffewsPipeline
+
+        auto = DiffewsPipeline.__new__(DiffewsPipeline)
+        auto.__dict__.update(pipe.__dict__)
+        auto.encode_chunks = 0
+
+        def pick(nimg):
+            chunks = 1
+            while nimg // chunks > 48 or nimg % chunks:
+                chunks += 1
+            return chunks
+
+        assert pick(24) == 1      # 1-shot b8 stays one flat batch
+        assert pick(44) == 1      # 5-shot b4
+        assert pick(88) == 2      # 5-shot b8 -> 2x44
+        assert pick(264) == 6     # 5-shot b24 -> 6x44
+        # numerics equal to the flat path on a tiny episode
+        import jax as _jax
+        auto._predict_jit = _jax.jit(
+            auto._predict_impl, static_argnames=("denoising_steps",))
+        q, sup, msk = _episode(b=2, n=1)
+        a = auto.predict(q, sup, msk, r_threshold=0.25)
+        b = pipe.predict(q, sup, msk, r_threshold=0.25)
+        np.testing.assert_array_equal(a.seg_colored, b.seg_colored)
+
     def test_multi_step_equals_single_step(self, pipe):
         """Degenerate scheduler: extra denoise steps are no-ops end-to-end
         (SURVEY.md §3.5) — verified through VAE+UNet+decode."""

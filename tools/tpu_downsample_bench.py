@@ -75,6 +75,27 @@ def stride1_slice(x, w):
     return y[:, ::2, ::2, :]
 
 
+def taps(x, w):
+    """3x3 stride-2 conv as NINE strided-slice matmuls (no conv emitter):
+    for each kernel tap (ky,kx), a (B*H/2*W/2, C) x (C, CO) dot over the
+    stride-2-sliced input, accumulated in f32."""
+    b, h, wd, c = x.shape
+    cout = w.shape[-1]
+    h2, w2 = h // 2, wd // 2
+    xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    acc = jnp.zeros((b, h2, w2, cout), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            xs = jax.lax.slice(
+                xp, (0, ky, kx, 0),
+                (b, ky + 2 * (h2 - 1) + 1, kx + 2 * (w2 - 1) + 1, c),
+                (1, 2, 2, 1))
+            acc = acc + jnp.einsum(
+                "bhwc,co->bhwo", xs, w[ky, kx],
+                preferred_element_type=jnp.float32)
+    return acc.astype(x.dtype)
+
+
 def main():
     r = np.random.default_rng(0)
     # correctness at small size (f32)
@@ -86,6 +107,19 @@ def main():
     err2 = float(jnp.max(jnp.abs(native(x, w) - stride1_slice(x, w))))
     print(f"stride1+slice correctness: {err2:.2e}", flush=True)
     assert err2 < 1e-4
+    err3 = float(jnp.max(jnp.abs(native(x, w) - taps(x, w))))
+    print(f"taps correctness: {err3:.2e}", flush=True)
+    assert err3 < 1e-4
+    # pallas kernel on-device correctness at a realistic tiled shape
+    from diffews_tpu.ops.downsample import downsample_conv2x
+    xc = jnp.asarray(r.normal(size=(2, 64, 64, 128)), jnp.float32)
+    wc = jnp.asarray(r.normal(size=(3, 3, 128, 128)) * 0.05, jnp.float32)
+    bc = jnp.asarray(r.normal(size=(128,)), jnp.float32)
+    ref = native(xc, wc) + bc
+    got = downsample_conv2x(xc, wc, bc, "pallas")
+    err4 = float(jnp.max(jnp.abs(ref - got)))
+    print(f"pallas correctness (64^2 C128, f32): {err4:.2e}", flush=True)
+    assert err4 < 1e-3, err4
 
     for (B, H, C, CO) in [(24, 512, 128, 128), (24, 256, 256, 256),
                           (24, 128, 512, 512)]:
@@ -104,8 +138,13 @@ def main():
                 return y.astype(jnp.float32).sum()
             return jax.jit(f)
 
-        for name, fn in (("native", native), ("s2d", s2d),
-                         ("s1+slice", stride1_slice)):
+        from diffews_tpu.ops.downsample import downsample_conv2x
+
+        def pallas_ds(x, w):
+            return downsample_conv2x(x, w, jnp.zeros((w.shape[-1],), x.dtype),
+                                     "pallas")
+
+        for name, fn in (("native", native), ("pallas", pallas_ds)):
             t = timeit(chain(fn), x, w) / ITERS
             print(f"B{B} {H}^2 C{C}->{CO} {name:7s} {t*1e3:7.2f} ms "
                   f"{flops/ITERS/t/1e12:6.1f} TF/s", flush=True)
