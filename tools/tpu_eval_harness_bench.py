@@ -31,10 +31,12 @@ def main():
     ap.add_argument("--dispatch_ahead", type=int, default=2)
     ap.add_argument("--float_ingest", action="store_true",
                     help="A/B: host-normalized f32 episodes (~8x more h2d)")
-    ap.add_argument("--nworker", type=int, default=0,
+    ap.add_argument("--nworker", type=str, default="0",
                     help=">0 enables the threaded single-producer prefetch "
-                         "(identical episode RNG order; overlaps PIL with "
-                         "device compute)")
+                         "+ parallel episode finalize (identical episode "
+                         "RNG order; overlaps PIL with device compute). "
+                         "Comma-separated list = in-process A/B sweep "
+                         "(one compile, N measurements)")
     args = ap.parse_args()
 
     import jax
@@ -83,22 +85,24 @@ def main():
         data = os.path.join(root, "data")
         syn.make_coco(data, imgs_per_class=3)
         n_batches = max(1, args.episodes // args.bsz)
-        eargs = E.build_parser().parse_args([
-            "--checkpoint", "/nonexistent-injected",
-            "--datapath", data, "--benchmark", "coco", "--fold", "0",
-            "--nshot", str(args.nshot), "--img-size", str(args.img_size),
-            "--bsz", str(args.bsz), "--r_threshold", "0.25",
-            "--nworker", str(args.nworker),
-            "--half_precision", "--denoise_steps", "1",
-            "--log-root", os.path.join(root, "logs"),
-            "--dispatch_ahead", str(args.dispatch_ahead),
-            "--max_episodes", str(n_batches),
-        ])
-        t0 = time.time()
-        E.evaluate(eargs, pipe=pipe, raw_images=not args.float_ingest)
-        total = time.time() - t0
-        print(f"[harness] steady-state total: {total:.1f}s "
-              f"({n_batches * args.bsz} episodes)")
+        for nworker in args.nworker.split(","):
+            eargs = E.build_parser().parse_args([
+                "--checkpoint", "/nonexistent-injected",
+                "--datapath", data, "--benchmark", "coco", "--fold", "0",
+                "--nshot", str(args.nshot), "--img-size", str(args.img_size),
+                "--bsz", str(args.bsz), "--r_threshold", "0.25",
+                "--nworker", nworker,
+                "--half_precision", "--denoise_steps", "1",
+                "--log-root", os.path.join(root, "logs"),
+                "--dispatch_ahead", str(args.dispatch_ahead),
+                "--max_episodes", str(n_batches),
+            ])
+            t0 = time.time()
+            E.evaluate(eargs, pipe=pipe, raw_images=not args.float_ingest)
+            total = time.time() - t0
+            print(f"[harness] nworker={nworker}: {total:.1f}s "
+                  f"({n_batches * args.bsz} episodes, "
+                  f"{n_batches * args.bsz / total:.2f} ep/s)", flush=True)
 
 
 if __name__ == "__main__":
