@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dispatch_ahead", type=int, default=2,
                    help="episodes kept in flight on the device; host metric "
                         "work overlaps device compute (1 = synchronous)")
+    p.add_argument("--num_shot_shards", type=int, default=1,
+                   help="shard each episode's SUPPORT SHOTS over this many "
+                        "chips (a jax.sharding 'shots' mesh; nshot must "
+                        "divide it): shot-parallel serving for episodes "
+                        "whose nshot*hw KV outgrows one chip. Mutually "
+                        "exclusive with --num_data_shards.")
     p.add_argument("--num_data_shards", type=int, default=1,
                    help="shard the episode batch over this many chips "
                         "(a jax.sharding 'data' mesh; bsz must divide it). "
@@ -109,6 +115,17 @@ def evaluate(args, pipe=None, raw_images: bool = True) -> tuple[float, float]:
             raise SystemExit(f"--bsz {args.bsz} must be divisible by "
                              f"--num_data_shards {args.num_data_shards}")
         mesh = mesh_lib.make_mesh(n_data=args.num_data_shards)
+    shot_mesh = None
+    if args.num_shot_shards > 1:
+        from diffews_tpu.parallel import mesh as mesh_lib
+
+        if args.num_data_shards > 1:
+            raise SystemExit("--num_data_shards and --num_shot_shards are "
+                             "mutually exclusive")
+        if args.nshot % args.num_shot_shards:
+            raise SystemExit(f"--nshot {args.nshot} must be divisible by "
+                             f"--num_shot_shards {args.num_shot_shards}")
+        shot_mesh = mesh_lib.make_shot_mesh(args.num_shot_shards)
 
     if pipe is None:
         pipe = DiffewsPipeline.from_pretrained(
@@ -119,6 +136,7 @@ def evaluate(args, pipe=None, raw_images: bool = True) -> tuple[float, float]:
             attn_impl=args.attn_impl,
             test_timestep=args.test_timestep,
             mesh=mesh,
+            shot_mesh=shot_mesh,
             encode_chunks=args.encode_chunks,
             vae_impl=args.vae_impl,
         )

@@ -43,6 +43,7 @@ from diffews_tpu.ops.attention import (
     dense_attention,
     fused_kv_attention,
     merge_heads,
+    shot_parallel_fused_kv_attention,
     split_heads,
 )
 from diffews_tpu.utils import init as I
@@ -55,7 +56,8 @@ ATTN_EPS = 1e-6  # Transformer2D GroupNorm epsilon
 # ---------------------------------------------------------------------------
 
 
-def _attn1(p, h, *, heads, ref_rows, n_shots, shot_mask, attn_impl, sup_bias=None):
+def _attn1(p, h, *, heads, ref_rows, n_shots, shot_mask, attn_impl,
+           sup_bias=None, shot_axis=None):
     """Self-attention with KV fusion between the two streams.
 
     h: (R+B, S, C) where the first R = B*n_shots rows are the support
@@ -78,10 +80,17 @@ def _attn1(p, h, *, heads, ref_rows, n_shots, shot_mask, attn_impl, sup_bias=Non
         # Query rows: attend over [own ‖ folded support] K/V.
         k_sup = k[:r].reshape(b, n_shots, s, heads, hd)
         v_sup = v[:r].reshape(b, n_shots, s, heads, hd)
-        out_tag = fused_kv_attention(
-            q[r:], k[r:], v[r:], k_sup, v_sup,
-            shot_mask=shot_mask, support_bias=sup_bias, impl=attn_impl,
-        )
+        if shot_axis is not None:
+            # shots sharded over a mesh axis: exact partial-softmax merge
+            out_tag = shot_parallel_fused_kv_attention(
+                q[r:], k[r:], v[r:], k_sup, v_sup, axis_name=shot_axis,
+                shot_mask=shot_mask, support_bias=sup_bias, impl=attn_impl,
+            )
+        else:
+            out_tag = fused_kv_attention(
+                q[r:], k[r:], v[r:], k_sup, v_sup,
+                shot_mask=shot_mask, support_bias=sup_bias, impl=attn_impl,
+            )
         out = jnp.concatenate([out_ref, out_tag], axis=0)
 
     return L.linear(p["to_out"]["0"], merge_heads(out))
@@ -97,11 +106,12 @@ def _attn2(p, h, ctx, *, heads):
 
 
 def _basic_transformer_block(p, h, ctx, *, heads, stream_info, attn_impl):
-    ref_rows, n_shots, shot_mask, sup_bias = stream_info
+    ref_rows, n_shots, shot_mask, sup_bias, shot_axis = stream_info
     h = h + _attn1(
         p["attn1"], L.layer_norm(p["norm1"], h),
         heads=heads, ref_rows=ref_rows, n_shots=n_shots,
         shot_mask=shot_mask, attn_impl=attn_impl, sup_bias=sup_bias,
+        shot_axis=shot_axis,
     )
     h = h + _attn2(p["attn2"], L.layer_norm(p["norm2"], h), ctx, heads=heads)
     h = h + L.geglu_ff(p["ff"], L.layer_norm(p["norm3"], h))
@@ -148,6 +158,7 @@ def forward(
     ref_mask: Optional[jax.Array] = None,
     attn_impl: str = "xla",
     remat: bool = False,
+    shot_axis: Optional[str] = None,
 ) -> jax.Array:
     """Joint support+query UNet forward.
 
@@ -173,6 +184,18 @@ def forward(
         `unet_2d_condition_attn.py:645-666`).
       attn_impl: "xla" | "pallas" for the fused self-attention.
       remat: checkpoint each block (training memory saver).
+      shot_axis: optional mesh-axis name — call under `shard_map` with the
+        SHOTS sharded over that axis (`ref_sample`/`ref_context`/
+        `shot_mask`/`ref_mask` carry only this device's shard; `sample`,
+        `context`, `timestep` replicated).  Each device runs its local
+        shots' support stream plus the full (replicated) query stream;
+        at every fused self-attention the query rows' softmax merges
+        exactly across devices via a log-sum-exp psum
+        (`ops/attention.py::shot_parallel_fused_kv_attention`), so
+        episodes whose nshot·hw KV outgrows one chip serve across the
+        mesh.  The reference has no equivalent (single-GPU xformers
+        bank, `attention_processor.py:256-267`).  The returned query
+        prediction is replicated on every device.
 
     Returns: (B, H, W, out_channels) prediction for the query rows.
     """
@@ -236,7 +259,7 @@ def forward(
             sup_biases[sid] = (1.0 - m) * -10000.0
 
     def stream_at(sid):
-        return (ref_rows, n_shots, shot_mask, sup_biases.get(sid))
+        return (ref_rows, n_shots, shot_mask, sup_biases.get(sid), shot_axis)
     g, eps = cfg.norm_num_groups, cfg.norm_eps
     n_levels = cfg.num_levels
 

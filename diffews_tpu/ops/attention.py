@@ -122,6 +122,114 @@ def fused_kv_attention(
         raise ValueError(f"unknown attention impl {impl!r}")
 
 
+def _dense_attention_lse(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    kv_bias: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """`dense_attention` that also returns the f32 log-sum-exp (B, Sq, H)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if kv_bias is not None:
+        logits = logits + kv_bias.astype(jnp.float32)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("bhqk,bkhd->bqhd", (p / l).astype(q.dtype), v)
+    lse = (m + jnp.log(l))[..., 0].transpose(0, 2, 1)  # (B, Sq, H)
+    return out, lse
+
+
+def shot_parallel_fused_kv_attention(
+    q: jax.Array,
+    k_own: jax.Array,
+    v_own: jax.Array,
+    k_sup: jax.Array,
+    v_sup: jax.Array,
+    *,
+    axis_name: str,
+    shot_mask: Optional[jax.Array] = None,
+    support_bias: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    impl: str = "xla",
+) -> jax.Array:
+    """`fused_kv_attention` with the support shots SHARDED over a mesh axis.
+
+    The sequence-parallel answer to "nshot·hw outgrows a chip" (SURVEY §5:
+    the reference folds all shots into one xformers KV sequence on a single
+    GPU, `attention_processor.py:256-267` — its many-shot ceiling is that
+    GPU's memory).  Here each device holds only its local shard of shots;
+    it computes a partial softmax over `[own ‖ local shots]` (own tokens
+    bias-masked everywhere except rank 0 so they count exactly once) and
+    the exact global result is recovered with one `pmax` + two `psum`
+    over the axis via the log-sum-exp merge
+
+        out = Σ_i out_i·exp(lse_i − m) / Σ_i exp(lse_i − m),  m = max_i lse_i
+
+    — O(Sq·H·D) collective payload (query-sized, never KV-sized), riding
+    ICI.  Masked shards are safe: the -1e9 finite bias makes their weight
+    underflow to exactly 0 (no NaN), and rank 0's own-token rows keep every
+    query row live.
+
+    Call under `shard_map` (or `jax.vmap`-free pmap-style code) with
+    `axis_name` bound; per-device arguments:
+      q, k_own, v_own: (B, S, H, D) replicated query-stream projections.
+      k_sup, v_sup: (B, N_local, S_ref, H, D) — THIS device's shot shard.
+      shot_mask: optional (B, N_local) bool validity of local shots.
+      support_bias: optional (B, N_local*S_ref) additive key bias (attn-mask
+        variant), local shard.
+      impl: "xla" (dense, differentiable through the psum) or "pallas"
+        (flash forward; eval-only — see `flash_attention_lse`).
+
+    Returns (B, S, H, D), identical (up to reduction order) on every
+    device to single-device `fused_kv_attention` over the gathered shots.
+    """
+    b, s, h, d = q.shape
+    n, s_ref = k_sup.shape[1], k_sup.shape[2]
+    k = jnp.concatenate([k_own, k_sup.reshape(b, n * s_ref, h, d)], axis=1)
+    v = jnp.concatenate([v_own, v_sup.reshape(b, n * s_ref, h, d)], axis=1)
+
+    rank = jax.lax.axis_index(axis_name)
+    own_bias = jnp.where(rank == 0, 0.0, NEG_INF).astype(jnp.float32)
+    own_bias = jnp.broadcast_to(own_bias, (b, s))
+    sup_bias = jnp.zeros((b, n * s_ref), jnp.float32)
+    if shot_mask is not None:
+        token_ok = jnp.repeat(shot_mask, s_ref, axis=1)
+        sup_bias = sup_bias + jnp.where(token_ok, 0.0, NEG_INF)
+    if support_bias is not None:
+        sup_bias = sup_bias + support_bias.astype(jnp.float32)
+    bias = jnp.concatenate([own_bias, sup_bias], axis=1)  # (B, Skv_local)
+
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from diffews_tpu.ops.flash_attention import flash_attention_lse
+
+        # same 0-or-very-negative -> boolean equivalence as the single-
+        # device pallas path above
+        out_i, lse_i = flash_attention_lse(
+            q, k, v, scale=scale, kv_mask=bias >= -1e3)
+    elif impl == "xla":
+        out_i, lse_i = _dense_attention_lse(
+            q, k, v, scale=scale, kv_bias=bias[:, None, None, :])
+    else:
+        raise ValueError(f"unknown attention impl {impl!r}")
+
+    # the shift by any constant cancels in num/den, so stopping gradients
+    # through the pmax (which has no differentiation rule) is exact
+    lse_max = jax.lax.stop_gradient(
+        jax.lax.pmax(jax.lax.stop_gradient(lse_i), axis_name))  # (B, Sq, H)
+    w = jnp.exp(lse_i - lse_max)
+    num = jax.lax.psum(out_i.astype(jnp.float32) * w[..., None], axis_name)
+    den = jax.lax.psum(w, axis_name)
+    return (num / den[..., None]).astype(q.dtype)
+
+
 def cross_attention(
     q: jax.Array,
     k: jax.Array,

@@ -410,3 +410,45 @@ def flash_attention(
     else:
         out = _flash(qh, kh, vh, float(scale), (block_q, block_k), interpret)
     return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
+
+def flash_attention_lse(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    kv_mask: Optional[jax.Array] = None,
+    block_q: int = 512,
+    block_k: Optional[int] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """`flash_attention` that also returns the f32 log-sum-exp.
+
+    Returns `(out, lse)` with out (B, Sq, H, D) and lse (B, Sq, H) =
+    `max_j(s_j) + log(sum_j exp(s_j - max))` over that row's keys.  This is
+    the partial-softmax statistic the shot-parallel attention combine needs
+    (`ops/attention.py::shot_parallel_fused_kv_attention`): device-local
+    results merge exactly via `out = Σ_i out_i·exp(lse_i − lse_g) /
+    Σ_i exp(lse_i − lse_g)`.
+
+    FORWARD-ONLY: this path bypasses the custom-VJP wrappers (the combine
+    is an eval/serving feature); take gradients through the dense
+    (`impl="xla"`) formulation instead.
+    """
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    if scale is None:
+        scale = d**-0.5
+    if block_k is None:
+        block_k = 2048 if d <= 128 else 512
+    interpret = jax.default_backend() != "tpu"
+
+    qh = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+    kh = k.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
+    vh = v.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
+    m = (None if kv_mask is None
+         else jnp.repeat(kv_mask.astype(jnp.int8), h, axis=0))
+    out, lse = _flash_forward(qh, kh, vh, m, float(scale),
+                              block_q, block_k, interpret)
+    return (out.reshape(b, h, sq, d).transpose(0, 2, 1, 3),
+            lse.reshape(b, h, sq).transpose(0, 2, 1))

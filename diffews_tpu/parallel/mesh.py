@@ -74,6 +74,17 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return Mesh(dev, axis_names=("data", "model"))
 
 
+def make_shot_mesh(n_shards: int, devices=None) -> Mesh:
+    """1-D ("shots",) mesh for shot-parallel episode serving
+    (`DiffewsPipeline(shot_mesh=...)`): the episode's support shots shard
+    across chips and the fused KV attention merges partial softmaxes via
+    psum (`ops/attention.py::shot_parallel_fused_kv_attention`)."""
+    devices = devices if devices is not None else jax.devices()
+    assert n_shards <= len(devices), (
+        f"need {n_shards} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n_shards]), axis_names=("shots",))
+
+
 # Param-tree regexes -> model-parallel PartitionSpec for the weight kernel.
 # Attention projections shard heads (out dim of q/k/v, in dim of out-proj);
 # FFN shards the hidden dim.  All biases and norms stay replicated.

@@ -80,6 +80,7 @@ class DiffewsPipeline:
         attn_impl: str = "auto",
         test_timestep: int = 1,
         mesh=None,
+        shot_mesh=None,
         encode_chunks: int = 0,
         vae_impl: str = "xla",
     ):
@@ -120,6 +121,10 @@ class DiffewsPipeline:
         self.unet_params = _cast_tree(bundle.unet_params, compute_dtype)
         self.vae_params = _cast_tree(bundle.vae_params, compute_dtype)
         self.mesh = mesh
+        self.shot_mesh = shot_mesh
+        if mesh is not None and shot_mesh is not None:
+            raise ValueError("mesh (episode data-parallel) and shot_mesh "
+                             "(shot-parallel) are mutually exclusive")
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -144,12 +149,59 @@ class DiffewsPipeline:
                 (1, 2, self.unet_cfg.cross_attention_dim), dtype=compute_dtype
             )
 
-        self._predict_jit = jax.jit(
-            self._predict_impl, static_argnames=("denoising_steps",)
-        )
-        self._predict_depth_jit = jax.jit(
-            self._predict_depth_impl, static_argnames=("denoising_steps",)
-        )
+        if shot_mesh is not None:
+            # Shot-parallel serving: the episode's SHOTS shard over the
+            # mesh's "shots" axis — each chip encodes + runs the support
+            # stream for its local shots only, the query stream is
+            # replicated, and every fused self-attention merges partial
+            # softmaxes exactly across chips (one pmax + two q-sized psum
+            # per layer; `ops/attention.py::shot_parallel_fused_kv_attention`).
+            # Serves episodes whose nshot·hw KV footprint outgrows one chip;
+            # the reference's equivalent does not exist (single-GPU xformers
+            # bank, `attention_processor.py:256-267`).
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if "shots" not in shot_mesh.axis_names:
+                raise ValueError('shot_mesh must have a "shots" axis')
+            rep = NamedSharding(shot_mesh, P())
+            put = lambda t: jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), t)
+            self.unet_params = put(self.unet_params)
+            self.vae_params = put(self.vae_params)
+            n_sh = shot_mesh.shape["shots"]
+
+            def _sharded(impl, unet_params, vae_params, query, supports,
+                         masks, text_embed, shot_mask, denoising_steps):
+                if supports.shape[1] % n_sh:
+                    raise ValueError(
+                        f"n-shot {supports.shape[1]} must divide the "
+                        f"shots axis ({n_sh}); pad with shot_mask")
+                if shot_mask is None:
+                    shot_mask = jnp.ones(supports.shape[:2], bool)
+                f = partial(impl, unet_params, vae_params,
+                            denoising_steps=denoising_steps,
+                            shot_axis="shots")
+                return shard_map(
+                    f, mesh=shot_mesh,
+                    in_specs=(P(), P(None, "shots"), P(None, "shots"),
+                              P(), P(None, "shots")),
+                    out_specs=P(), check_rep=False,
+                )(query, supports, masks, text_embed, shot_mask)
+
+            self._predict_jit = jax.jit(
+                partial(_sharded, self._predict_impl),
+                static_argnames=("denoising_steps",))
+            self._predict_depth_jit = jax.jit(
+                partial(_sharded, self._predict_depth_impl),
+                static_argnames=("denoising_steps",))
+        else:
+            self._predict_jit = jax.jit(
+                self._predict_impl, static_argnames=("denoising_steps",)
+            )
+            self._predict_depth_jit = jax.jit(
+                self._predict_depth_impl, static_argnames=("denoising_steps",)
+            )
 
     @classmethod
     def from_pretrained(
@@ -174,6 +226,7 @@ class DiffewsPipeline:
         text_embed: jax.Array,  # (1, L, D)
         shot_mask: Optional[jax.Array],
         denoising_steps: int,
+        shot_axis: Optional[str] = None,
     ) -> jax.Array:
         """Predicted x0 latent for the episode (shared by seg/depth heads)."""
         b, n = supports.shape[0], supports.shape[1]
@@ -250,15 +303,17 @@ class DiffewsPipeline:
                 unet_params, self.unet_cfg, latent,
                 int(t) * self.test_timestep, ctx,
                 ref_sample=ref, shot_mask=shot_mask,
-                attn_impl=self.attn_impl,
+                attn_impl=self.attn_impl, shot_axis=shot_axis,
             )
             latent, x0 = self.scheduler.step(v, int(t), latent)
         return x0
 
     def _predict_impl(self, unet_params, vae_params, query, supports, masks,
-                      text_embed, shot_mask, denoising_steps) -> jax.Array:
+                      text_embed, shot_mask, denoising_steps,
+                      shot_axis=None) -> jax.Array:
         x0 = self._x0_latent(unet_params, vae_params, query, supports, masks,
-                             text_embed, shot_mask, denoising_steps)
+                             text_embed, shot_mask, denoising_steps,
+                             shot_axis)
         # ---- decode + seg postprocess (pipeline `:784-802,887-905`) ----
         img = vae.decode(vae_params, self.vae_cfg, x0, attn_impl=self.attn_impl)
         img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
@@ -267,11 +322,13 @@ class DiffewsPipeline:
         return img
 
     def _predict_depth_impl(self, unet_params, vae_params, query, supports,
-                            masks, text_embed, shot_mask, denoising_steps) -> jax.Array:
+                            masks, text_embed, shot_mask, denoising_steps,
+                            shot_axis=None) -> jax.Array:
         """Depth head: channel-mean of the decoded latent -> clip(-1,1) ->
         [0,1] (`decode_depth` pipeline `:867-885`, postprocess `:775-781`)."""
         x0 = self._x0_latent(unet_params, vae_params, query, supports, masks,
-                             text_embed, shot_mask, denoising_steps)
+                             text_embed, shot_mask, denoising_steps,
+                             shot_axis)
         img = vae.decode(vae_params, self.vae_cfg, x0, attn_impl=self.attn_impl)
         depth = img.astype(jnp.float32).mean(axis=-1)  # (B, H, W)
         depth = jnp.clip(depth, -1.0, 1.0)

@@ -56,6 +56,25 @@ def test_evaluate_cli_end_to_end(workdir):
     assert os.path.exists(workdir / "logs" / logdirs[0] / "log.txt")
 
 
+def test_evaluate_cli_shot_sharded_matches_unsharded(workdir):
+    """--num_shot_shards 2: same metrics as the single-device run (the
+    partial-softmax merge is exact up to reduction order)."""
+    from diffews_tpu.cli.evaluate import main
+
+    common = [
+        "--checkpoint", str(workdir / "ckpt"),
+        "--datapath", str(workdir / "data"),
+        "--benchmark", "coco", "--fold", "0", "--nshot", "2",
+        "--img-size", "32", "--denoise_steps", "1", "--ensemble_size", "1",
+        "--threshold", "0", "--r_threshold", "0.25",
+        "--log-root", str(workdir / "logs"),
+        "--max_episodes", "2",
+    ]
+    miou1, fb1 = main(common)
+    miou2, fb2 = main(common + ["--num_shot_shards", "2"])
+    assert abs(miou1 - miou2) < 1e-4 and abs(fb1 - fb2) < 1e-4
+
+
 def test_launcher_dry_run(workdir, capsys):
     from diffews_tpu.cli.launcher import main
 
