@@ -59,6 +59,16 @@ def _pick_block(size: int, preferred: int) -> int:
 # and full-precision eval keep exact f32 math.
 AV_BF16 = True
 
+# Same pattern offered for the backward's three accumulation dots when
+# inputs are bf16 (COMPUTED p/ds cast to bf16 against NATIVE-bf16 loaded
+# blocks: g for dV, k for dQ, q for dK; f32 accumulation).  MEASURED A WASH
+# on 1x v5e (tools/tpu_flash_bwd_bench.py: fwd+bwd chain at sq4096
+# kv8192 16.60 ms f32-dots vs 16.73 bf16; kv4096 10.63 vs 10.83) — unlike
+# the forward, the backward at bk<=512 is bound by the (bq, bk) p/ds
+# recompute on the VPU, not the MXU dots, so halving dot cost buys
+# nothing.  Default OFF: training keeps exact-f32 kernel math for free.
+BWD_BF16 = False
+
 
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
                   m_scr, l_scr, acc_scr, *, scale, kv_blocks):
@@ -189,8 +199,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, mask_ref,
     dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - delta.T)
-    dq_scr[:] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32) * scale
+    k_dot = (k_ref[0] if BWD_BF16 and k_ref.dtype == jnp.bfloat16 else k)
+    dq_scr[:] += jax.lax.dot_general(
+        ds.astype(k_dot.dtype), k_dot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
 
     @pl.when(j == kv_blocks - 1)
     def _done():
@@ -218,13 +230,17 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, mask_ref,
     if mask_ref is not None:
         s = s + (1.0 - mask_ref[0].astype(jnp.float32)) * NEG_INF
     p = jnp.exp(s - lse.T)                       # (bq, bk)
-    dv_scr[:] += jax.lax.dot_general(p, g, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+    g_dot = (g_ref[0] if BWD_BF16 and g_ref.dtype == jnp.bfloat16 else g)
+    dv_scr[:] += jax.lax.dot_general(
+        p.astype(g_dot.dtype), g_dot, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - delta.T)
-    dk_scr[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32) * scale
+    q_dot = (q_ref[0] if BWD_BF16 and q_ref.dtype == jnp.bfloat16 else q)
+    dk_scr[:] += jax.lax.dot_general(
+        ds.astype(q_dot.dtype), q_dot, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
 
     @pl.when(j == q_blocks - 1)
     def _done():

@@ -54,6 +54,38 @@ def test_grad_matches_dense():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-3)
 
 
+def test_bf16_grad_close_to_dense_f32():
+    """bf16 inputs with BWD_BF16 forced on exercise the computed-operand
+    bf16 dots (p/ds cast to bf16 against native-bf16 blocks,
+    flash_attention.py — measured perf-neutral, kept correct); gradients
+    must stay within bf16 rounding of the dense f32 reference."""
+    import diffews_tpu.ops.flash_attention as FA
+
+    b, sq, skv, h, d = 2, 64, 96, 2, 16
+    q = _rand(b, sq, h, d, seed=40).astype(jnp.bfloat16)
+    k = _rand(b, skv, h, d, seed=41).astype(jnp.bfloat16)
+    v = _rand(b, skv, h, d, seed=42).astype(jnp.bfloat16)
+    old, FA.BWD_BF16 = FA.BWD_BF16, True
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v).astype(jnp.float32) ** 2)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(
+            dense_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                            v.astype(jnp.float32)) ** 2)
+
+    try:
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        FA.BWD_BF16 = old
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gd):
+        a, b_ = np.asarray(a, np.float32), np.asarray(b_)
+        rel = np.max(np.abs(a - b_)) / max(1e-6, np.max(np.abs(b_)))
+        assert rel < 0.03, rel
+
+
 def test_fused_kv_pallas_path_matches_xla():
     b, n, s, h, d = 1, 2, 64, 2, 64
     q = _rand(b, s, h, d, seed=11)
