@@ -30,6 +30,8 @@ REF_4090_QPS = 5.0  # estimated reference throughput (see module docstring)
 
 
 def main():
+    import sys
+
     from __graft_entry__ import entry
 
     fn, args = entry()
@@ -37,6 +39,25 @@ def main():
     # remote execution finishes; a host read of a scalar reduction cannot.
     jfn = jax.jit(lambda *a: fn(*a).astype(jnp.int32).sum())
     unet_params, vae_params = args[0], args[1]
+    tag = "bf16"
+    if "int8" in sys.argv:
+        # opt-in A/B mode (NOT the headline: int8 changes eval numerics —
+        # ops/quant.py): W8A8 VAE convs on the MXU's 2x int8 rate.
+        # Calibrated static activation scales: the s8 quantize fuses into
+        # its producer instead of serializing on a dynamic amax (bf16 19.5
+        # / int8-dynamic 20.5 / int8-static 22.4 q/s).  "dynamic" selects
+        # the amax fallback for the A/B record.
+        from diffews_tpu.configs import VAEConfig
+        from diffews_tpu.ops import quant
+
+        if "dynamic" in sys.argv:
+            vae_params = quant.quantize_conv_tree(vae_params)
+            tag = "int8-vae-dynamic"
+        else:
+            scales = quant.calibrate_vae_scales(vae_params, VAEConfig.sd())
+            vae_params = quant.quantize_conv_tree(vae_params,
+                                                  a_scales=scales)
+            tag = "int8-vae"
 
     def run(batch):
         b, n, s = batch, 1, 512
@@ -88,7 +109,7 @@ def main():
             best_qps, best_bs = qps, bs
 
     print(json.dumps({
-        "metric": f"query images/sec at 1-shot 512px (bf16, batch {best_bs}, 1 chip)",
+        "metric": f"query images/sec at 1-shot 512px ({tag}, batch {best_bs}, 1 chip)",
         "value": round(best_qps, 3),
         "unit": "queries/s",
         "vs_baseline": round(best_qps / REF_4090_QPS, 3),

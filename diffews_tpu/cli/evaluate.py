@@ -80,11 +80,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "fail or are slow to compile). 0 = auto: chunk only "
                         "past 48 encoded images")
     p.add_argument("--vae_impl", type=str, default="xla",
-                   choices=["xla", "fused", "mixed", "auto"],
+                   choices=["xla", "fused", "mixed", "auto", "int8"],
                    help="VAE resnet implementation. Default 'xla' keeps "
                         "metrics independent of --bsz; 'auto' opts into the "
                         "small-batch fused Pallas path (faster at bsz<=1 on "
-                        "TPU, batch-dependent rounding)")
+                        "TPU, batch-dependent rounding); 'int8' quantizes "
+                        "the VAE 3x3 convs W8A8 for the MXU int8 rate "
+                        "(fastest, accuracy-affecting opt-in)")
     return p
 
 

@@ -35,9 +35,21 @@ def linear(p: Params, x: jax.Array) -> jax.Array:
 
 
 def conv2d(p: Params, x: jax.Array, *, stride: int = 1, padding=1) -> jax.Array:
-    """3x3/1x1 convolution on NHWC input with HWIO kernel."""
+    """3x3/1x1 convolution on NHWC input with HWIO kernel.
+
+    A param dict carrying "kernel_q" (int8 weights + per-channel scales,
+    produced by `ops.quant.quantize_conv_tree` for the opt-in
+    `vae_impl="int8"` path) routes to the W8A8 MXU conv."""
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
+    if "kernel_q" in p:
+        from diffews_tpu.ops.quant import conv2d_int8
+
+        return conv2d_int8(p, x, stride=stride, padding=padding)
+    if "q_site" in p:
+        from diffews_tpu.ops.quant import record_calibration
+
+        record_calibration(p, x)
     y = jax.lax.conv_general_dilated(
         x,
         p["kernel"].astype(x.dtype),

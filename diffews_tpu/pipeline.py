@@ -101,14 +101,18 @@ class DiffewsPipeline:
         smallest divisor of the image count that brings a chunk to <=48.
 
         vae_impl: resnet implementation for the VAE ("xla" | "fused" |
-        "mixed" | "auto").  Default "xla" keeps eval numerics independent
-        of --bsz: the fused Pallas chain's GroupNorm (sum/sumsq affine)
-        rounds differently from XLA, so auto-switching on batch size would
-        make metrics batch-dependent on TPU.  "auto" opts into the measured
-        small-batch heuristic (fused when the encode batch is <= 4 images
-        on TPU: b3 encode 55.9 vs 74.6 ms on 1x v5e) at the cost of that
-        invariance; "fused"/"mixed" force a fixed choice (batch-invariant
-        again, different rounding than "xla")."""
+        "mixed" | "auto" | "int8").  Default "xla" keeps eval numerics
+        independent of --bsz: the fused Pallas chain's GroupNorm (sum/sumsq
+        affine) rounds differently from XLA, so auto-switching on batch size
+        would make metrics batch-dependent on TPU.  "auto" opts into the
+        measured small-batch heuristic (fused when the encode batch is <= 4
+        images on TPU: b3 encode 55.9 vs 74.6 ms on 1x v5e) at the cost of
+        that invariance; "fused"/"mixed" force a fixed choice
+        (batch-invariant again, different rounding than "xla").  "int8"
+        quantizes the VAE's 3x3 convs to W8A8 for the MXU's 2x int8 rate
+        (measured 1.32-1.40x per conv incl. scale chains,
+        `ops/quant.py`) — an accuracy-affecting OPT-IN that the reference
+        has no equivalent of; the headline protocol stays bf16."""
         self.unet_cfg: UNetConfig = bundle.unet_cfg
         self.vae_cfg: VAEConfig = bundle.vae_cfg
         self.scheduler = DDIMScheduler(bundle.scheduler_cfg)
@@ -120,6 +124,22 @@ class DiffewsPipeline:
 
         self.unet_params = _cast_tree(bundle.unet_params, compute_dtype)
         self.vae_params = _cast_tree(bundle.vae_params, compute_dtype)
+        if vae_impl == "int8":
+            from diffews_tpu.ops import quant
+
+            # Calibrate STATIC per-site activation scales on a small
+            # synthetic batch: with a static scale the s8 quantize fuses
+            # into the producing GN/SiLU epilogue, where a dynamic amax
+            # serializes an extra HBM pass per conv that eats half the MXU
+            # win (measured: bf16 19.5 / int8-dynamic 20.5 / int8-static
+            # 22.4 q/s at the b8 episode — ops/quant.py, PERF.md).
+            scales = quant.calibrate_vae_scales(
+                self.vae_params, self.vae_cfg, attn_impl=self.attn_impl,
+                dtype=compute_dtype)
+            # the int8-ness lives in the param tree (layers.conv2d routes on
+            # "kernel_q"); the resnet graph itself runs the "xla" path
+            self.vae_params = quant.quantize_conv_tree(
+                self.vae_params, a_scales=scales)
         self.mesh = mesh
         self.shot_mesh = shot_mesh
         if mesh is not None and shot_mesh is not None:
@@ -268,6 +288,9 @@ class DiffewsPipeline:
             # two paths, hence not the default (see __init__).
             resnet_impl = ("fused" if all_imgs.shape[0] <= 4
                            and jax.default_backend() == "tpu" else "xla")
+        elif self.vae_impl == "int8":
+            # quantization lives in the param tree; the graph is "xla"
+            resnet_impl = "xla"
         else:
             resnet_impl = self.vae_impl
         enc = lambda imgs: vae.encode_mean_latent(

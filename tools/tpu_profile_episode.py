@@ -68,6 +68,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--target", choices=["episode", "unet"], default="episode")
+    ap.add_argument("--vae", choices=["bf16", "int8"], default="bf16",
+                    help="int8: profile the W8A8-quantized VAE episode "
+                         "(ops/quant.py) to attribute the quantize/dequant "
+                         "chain cost")
     args = ap.parse_args()
 
     import jax
@@ -85,6 +89,10 @@ def main():
         fn, a = entry()
         jfn = jax.jit(lambda *t: fn(*t).astype(jnp.int32).sum())
         up, vp = a[0], a[1]
+        if args.vae == "int8":
+            from diffews_tpu.ops.quant import quantize_conv_tree
+
+            vp = quantize_conv_tree(vp)
         inp = (jnp.asarray(r.uniform(-1, 1, (b, s, s, 3)), dt),
                jnp.asarray(r.uniform(-1, 1, (b, n, s, s, 3)), dt),
                jnp.asarray(r.uniform(-1, 1, (b, n, s, s, 3)), dt),
