@@ -171,6 +171,43 @@ class TestPipelineInt8:
         assert agree > 0.95, agree
 
 
+class TestInt8Composition:
+    def test_int8_composes_with_shot_parallel_mesh(self):
+        """vae_impl="int8" + shot_mesh: the quantized tree (int8 leaves +
+        static scales) must replicate over the mesh and serve sharded
+        episodes; prediction matches the single-device int8 pipeline."""
+        from jax.sharding import Mesh
+
+        from diffews_tpu import checkpoint as C
+        from diffews_tpu.pipeline import DiffewsPipeline
+
+        if jax.device_count() < 4:
+            pytest.skip("needs >=4 devices")
+        ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
+        bundle = C.PipelineBundle(
+            jax.jit(lambda r: unet.init_params(r, ucfg))(
+                jax.random.PRNGKey(0)), ucfg,
+            jax.jit(lambda r: vae.init_params(r, vcfg))(
+                jax.random.PRNGKey(1)), vcfg,
+            None, CLIPTextConfig.tiny(), SchedulerConfig.diffews(),
+        )
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("shots",))
+        rng = np.random.default_rng(13)
+        b, n, s = 1, 4, 32
+        q = rng.integers(0, 255, (b, s, s, 3), np.uint8)
+        sup = rng.integers(0, 255, (b, n, s, s, 3), np.uint8)
+        msk = (rng.random((b, n, s, s)) > 0.5).astype(np.uint8)
+
+        base = DiffewsPipeline(bundle, vae_impl="int8").predict(
+            q, sup, msk, r_threshold=0.25)
+        sharded = DiffewsPipeline(bundle, vae_impl="int8",
+                                  shot_mesh=mesh).predict(
+            q, sup, msk, r_threshold=0.25)
+        np.testing.assert_allclose(
+            np.asarray(sharded.seg_colored).astype(np.int32),
+            np.asarray(base.seg_colored).astype(np.int32), atol=1)
+
+
 class TestVAEInt8Latents:
     def test_encode_latents_close_to_fp(self):
         vcfg = VAEConfig.tiny()

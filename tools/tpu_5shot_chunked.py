@@ -20,6 +20,10 @@ def main():
     ap.add_argument("--bsz", type=int, default=8)
     ap.add_argument("--nshot", type=int, default=5)
     ap.add_argument("--chunks", type=int, default=11)
+    ap.add_argument("--vae", choices=["xla", "int8"], default="xla",
+                    help="int8: opt-in W8A8 VAE (ops/quant.py) — 5-shot is "
+                         "encode-heavy (88 images at b8), the int8 win "
+                         "should exceed the 1-shot one")
     args = ap.parse_args()
 
     import jax
@@ -39,7 +43,7 @@ def main():
         None, CLIPTextConfig.sd21(), SchedulerConfig.diffews(),
     )
     pipe = DiffewsPipeline(bundle, compute_dtype=jnp.bfloat16,
-                           encode_chunks=args.chunks)
+                           encode_chunks=args.chunks, vae_impl=args.vae)
 
     b, n, s = args.bsz, args.nshot, 512
     rng = np.random.default_rng(0)
