@@ -65,8 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "work overlaps device compute (1 = synchronous)")
     p.add_argument("--num_shot_shards", type=int, default=1,
                    help="shard each episode's SUPPORT SHOTS over this many "
-                        "chips (a jax.sharding 'shots' mesh; nshot must "
-                        "divide it): shot-parallel serving for episodes "
+                        "chips (a jax.sharding 'shots' mesh; must divide "
+                        "--nshot): shot-parallel serving for episodes "
                         "whose nshot*hw KV outgrows one chip. Mutually "
                         "exclusive with --num_data_shards.")
     p.add_argument("--num_data_shards", type=int, default=1,

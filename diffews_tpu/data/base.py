@@ -47,6 +47,25 @@ class EpisodicDataset:
         # i.e. on a finalize worker when deferral is on.
         return Image.open(path)
 
+    @staticmethod
+    def _crop_img(img: Image.Image, x0, y0, x1, y1) -> Image.Image:
+        """Lazy box crop with numpy-slice clamping semantics.
+
+        PIL `crop` (unlike `np.asarray` + slicing) stays un-decoded until
+        load — the JPEG decode lands on a finalize worker, not the in-order
+        producer — and, because pointwise mode conversion commutes with
+        cropping, the transform's later `convert("RGB")` handles
+        palette/CMYK sources correctly (an `np.asarray` of a raw palette
+        image yields palette INDICES and corrupts the episode).  Bounds are
+        clamped like `arr[y0:y1, x0:x1]` for non-negative boxes (PIL would
+        otherwise zero-pad out-of-range crops)."""
+        w, h = img.size
+        left = min(max(int(x0), 0), w)
+        upper = min(max(int(y0), 0), h)
+        right = min(max(int(x1), left), w)
+        lower = min(max(int(y1), upper), h)
+        return img.crop((left, upper, right, lower))
+
     def _episode(
         self,
         query_img: Image.Image,

@@ -136,13 +136,15 @@ class DatasetPACOPart(EpisodicDataset):
             support_masks.append(self._decode_union(segms, im.size))
 
         if self.box_crop:
-            qa = np.asarray(query_img)
-            query_img = Image.fromarray(np.uint8(_crop_xywh(qa, q_bbox)))
+            # lazy PIL crops: decode lands on a finalize worker and
+            # palette/CMYK sources convert correctly later (base._crop_img)
+            x, y, w, h = (int(v) for v in q_bbox)
+            query_img = self._crop_img(query_img, x, y, x + w, y + h)
             query_mask = _crop_xywh(query_mask, q_bbox)
             cropped_imgs, cropped_masks = [], []
             for im, m, box in zip(support_imgs, support_masks, support_boxes):
-                ia = np.asarray(im)
-                cropped_imgs.append(Image.fromarray(np.uint8(_crop_xywh(ia, box))))
+                x, y, w, h = (int(v) for v in box)
+                cropped_imgs.append(self._crop_img(im, x, y, x + w, y + h))
                 cropped_masks.append(_crop_xywh(m, box))
             support_imgs, support_masks = cropped_imgs, cropped_masks
 

@@ -131,13 +131,13 @@ class DatasetPASCALPart(EpisodicDataset):
         support_imgs = [self._img(self.img_file.format(i)) for i in support_ids]
 
         if self.box_crop:
-            qa = np.asarray(query_img)
-            query_img = Image.fromarray(np.uint8(_crop_xyxy(qa, q_bbox)))
+            # lazy PIL crops: decode lands on a finalize worker and
+            # palette/CMYK sources convert correctly later (base._crop_img)
+            query_img = self._crop_img(query_img, *q_bbox)
             query_mask = _crop_xyxy(query_mask, q_bbox)
             new_imgs, new_masks = [], []
             for im, m, box in zip(support_imgs, support_masks, support_boxes):
-                ia = np.asarray(im)
-                new_imgs.append(Image.fromarray(np.uint8(_crop_xyxy(ia, box))))
+                new_imgs.append(self._crop_img(im, *box))
                 new_masks.append(_crop_xyxy(m, box))
             support_imgs, support_masks = new_imgs, new_masks
 

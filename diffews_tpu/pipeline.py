@@ -195,8 +195,8 @@ class DiffewsPipeline:
                          masks, text_embed, shot_mask, denoising_steps):
                 if supports.shape[1] % n_sh:
                     raise ValueError(
-                        f"n-shot {supports.shape[1]} must divide the "
-                        f"shots axis ({n_sh}); pad with shot_mask")
+                        f"the shots axis ({n_sh}) must divide n-shot "
+                        f"{supports.shape[1]}; pad with shot_mask")
                 if shot_mask is None:
                     shot_mask = jnp.ones(supports.shape[:2], bool)
                 f = partial(impl, unet_params, vae_params,

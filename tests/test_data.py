@@ -301,6 +301,25 @@ class TestPartBenchmarks:
         assert ep["query_mask"].max() == 1.0
         assert ep["category"] in ("dog+HEAD", "cat+TORSO")
 
+    def test_lazy_box_crop_handles_palette_and_clamps(self):
+        """`EpisodicDataset._crop_img` must equal convert-then-numpy-slice
+        for non-RGB sources (an `np.asarray` of a raw palette image yields
+        palette INDICES — the bug this guards) and clamp out-of-range boxes
+        like numpy slicing (PIL would zero-pad)."""
+        from PIL import Image
+
+        from diffews_tpu.data.base import EpisodicDataset
+
+        rng = np.random.default_rng(0)
+        pal = Image.fromarray(
+            rng.integers(0, 255, (40, 40, 3), np.uint8)).convert(
+            "P", palette=Image.ADAPTIVE)
+        want = np.asarray(pal.convert("RGB"))[5:30, 3:33]
+        got = np.asarray(
+            EpisodicDataset._crop_img(pal, 3, 5, 33, 30).convert("RGB"))
+        np.testing.assert_array_equal(got, want)
+        assert EpisodicDataset._crop_img(pal, 30, 35, 99, 99).size == (10, 5)
+
     def test_pascal_cd_episode(self, tmp_path):
         syn.make_pascal_cd(str(tmp_path))
         FSSDataset.initialize(32, str(tmp_path))
