@@ -75,6 +75,27 @@ def test_evaluate_cli_shot_sharded_matches_unsharded(workdir):
     assert abs(miou1 - miou2) < 1e-4 and abs(fb1 - fb2) < 1e-4
 
 
+def test_export_cli_artifact_serves(workdir, tmp_path):
+    """Export CLI writes a StableHLO serving artifact that loads and runs
+    without model code (`diffews_tpu/serving.py`)."""
+    import jax.numpy as jnp
+
+    from diffews_tpu import serving
+    from diffews_tpu.cli.export import main
+
+    out = main([
+        "--checkpoint", str(workdir / "ckpt"),
+        "--out", str(tmp_path / "art"),
+        "--bsz", "1", "--nshot", "1", "--img-size", "32",
+    ])
+    mod = serving.load(out)
+    rng = np.random.default_rng(0)
+    pred = mod(rng.integers(0, 255, (1, 32, 32, 3), np.uint8),
+               rng.integers(0, 255, (1, 1, 32, 32, 3), np.uint8),
+               rng.integers(0, 2, (1, 1, 32, 32), np.uint8))
+    assert pred.shape == (1, 32, 32, 3) and pred.dtype == jnp.uint8
+
+
 def test_launcher_dry_run(workdir, capsys):
     from diffews_tpu.cli.launcher import main
 
