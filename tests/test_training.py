@@ -40,6 +40,32 @@ def _batch(gas=2, b=2, n=2, s=32, seed=0):
 
 
 class TestTrainStep:
+    def test_training_is_seed_deterministic(self, setup):
+        """Same seed -> bit-identical loss and params after 2 steps; a
+        different step RNG -> a different loss (the reference's cudnn-
+        deterministic seed-pinned contract, `common/utils.py:16-17`,
+        expressed the JAX way: determinism is the default, so pin it)."""
+        ucfg, vcfg, up, vp, text = setup
+        cfg = TrainerConfig(max_train_steps=10, gradient_accumulation_steps=1,
+                            compute_dtype=jnp.float32, remat=False)
+        step = jax.jit(make_train_step(cfg, ucfg, vcfg))
+
+        def run(key):
+            state = init_state(cfg, up)
+            state, m1 = step(state, _batch(gas=1), jax.random.PRNGKey(key),
+                             vp, text)
+            state, m2 = step(state, _batch(gas=1, seed=1),
+                             jax.random.PRNGKey(key + 1), vp, text)
+            return float(m2["loss"]), np.asarray(
+                state.params["conv_in"]["kernel"])
+
+        l_a, p_a = run(0)
+        l_b, p_b = run(0)
+        l_c, _ = run(7)
+        assert l_a == l_b
+        np.testing.assert_array_equal(p_a, p_b)
+        assert l_a != l_c
+
     def test_two_steps_loss_finite_params_move(self, setup):
         ucfg, vcfg, up, vp, text = setup
         cfg = TrainerConfig(max_train_steps=10, gradient_accumulation_steps=2,
