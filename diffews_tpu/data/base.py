@@ -17,6 +17,28 @@ from PIL import Image
 from diffews_tpu.data.transforms import ImageTransform, nearest_resize_mask
 
 
+class _LazyCrop:
+    """A pending `img.crop(box)` that decodes only when consumed.
+
+    Quacks like the slice of PIL image the transform needs: `.size` comes
+    from the box arithmetic (no decode), `.convert(mode)` decodes the
+    source, crops, and converts — on whichever thread calls it (a finalize
+    worker under `defer_finalize`).  Needed because PIL's `crop` is eager
+    since Pillow 3.4."""
+
+    def __init__(self, img: Image.Image, box):
+        self._img = img
+        self._box = box
+
+    @property
+    def size(self):
+        left, upper, right, lower = self._box
+        return (right - left, lower - upper)
+
+    def convert(self, mode: str) -> Image.Image:
+        return self._img.crop(self._box).convert(mode)
+
+
 class EpisodicDataset:
     """Base: subclasses set `benchmark`, `class_ids` and implement
     `__len__`/`get_episode(idx) -> dict`."""
@@ -48,23 +70,25 @@ class EpisodicDataset:
         return Image.open(path)
 
     @staticmethod
-    def _crop_img(img: Image.Image, x0, y0, x1, y1) -> Image.Image:
-        """Lazy box crop with numpy-slice clamping semantics.
+    def _crop_img(img: Image.Image, x0, y0, x1, y1) -> "_LazyCrop":
+        """Deferred box crop with numpy-slice clamping semantics.
 
-        PIL `crop` (unlike `np.asarray` + slicing) stays un-decoded until
-        load — the JPEG decode lands on a finalize worker, not the in-order
-        producer — and, because pointwise mode conversion commutes with
-        cropping, the transform's later `convert("RGB")` handles
-        palette/CMYK sources correctly (an `np.asarray` of a raw palette
-        image yields palette INDICES and corrupts the episode).  Bounds are
-        clamped like `arr[y0:y1, x0:x1]` for non-negative boxes (PIL would
-        otherwise zero-pad out-of-range crops)."""
+        Returns a `_LazyCrop` proxy: the source stays un-decoded until the
+        transform's `convert()` runs — i.e. the JPEG decode lands on a
+        finalize worker, not the in-order producer (PIL's own `crop` is
+        EAGER since Pillow 3.4, so it cannot be used here directly).
+        Because pointwise mode conversion commutes with cropping, the
+        transform's later `convert("RGB")` handles palette/CMYK sources
+        correctly (an `np.asarray` of a raw palette image yields palette
+        INDICES and corrupts the episode).  Bounds are clamped like
+        `arr[y0:y1, x0:x1]` for non-negative boxes (PIL would otherwise
+        zero-pad out-of-range crops)."""
         w, h = img.size
         left = min(max(int(x0), 0), w)
         upper = min(max(int(y0), 0), h)
         right = min(max(int(x1), left), w)
         lower = min(max(int(y1), upper), h)
-        return img.crop((left, upper, right, lower))
+        return _LazyCrop(img, (left, upper, right, lower))
 
     def _episode(
         self,

@@ -133,11 +133,13 @@ def make_lvis(root: str, n_classes: int = 12, imgs_per_class: int = 4, seed: int
     return root
 
 
-def make_paco(root: str, n_classes: int = 448, imgs_per_class: int = 3, seed: int = 0):
+def make_paco(root: str, n_classes: int = 448, imgs_per_class: int = 3, seed: int = 0,
+              size=(40, 30)):
     """PACO-Part tree: coco images + paco pkls (cid2img / img2anno)."""
     from diffews_tpu.data.masks import rle_encode
 
     rng = np.random.default_rng(seed)
+    w, h = size
     base = os.path.join(root, "PACO-Part")
     img_root = os.path.join(base, "coco")
     # images are shared between splits; categories interleave like the real
@@ -151,14 +153,14 @@ def make_paco(root: str, n_classes: int = 448, imgs_per_class: int = 3, seed: in
                 name = f"{split}2017/{c:03d}_{i:04d}.jpg"
                 path = os.path.join(img_root, name)
                 if not os.path.exists(path):
-                    _save_rgb(path, rng)
+                    _save_rgb(path, rng, size=size)
                 imgs.append({img_id: f"xx/{name}"})
-                m = np.zeros((30, 40), np.uint8)
-                m[4:20, 6:30] = 1
+                m = np.zeros((h, w), np.uint8)
+                m[h // 8: 2 * h // 3, w // 7: 3 * w // 4] = 1
                 img2anno[img_id] = [{
                     "category_id": c,
                     "obj_ann_id": img_id * 10,
-                    "obj_bbox": [2, 2, 30, 25],  # xywh
+                    "obj_bbox": [2, 2, 3 * w // 4, 5 * h // 6],  # xywh
                     "segmentation": rle_encode(m),
                 }]
             cid2img[c] = imgs

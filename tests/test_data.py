@@ -320,6 +320,26 @@ class TestPartBenchmarks:
         np.testing.assert_array_equal(got, want)
         assert EpisodicDataset._crop_img(pal, 30, 35, 99, 99).size == (10, 5)
 
+    def test_box_crop_defers_the_decode(self, tmp_path):
+        """The crop proxy must not decode the source until convert() — the
+        point is that the JPEG decode runs on a finalize worker, not the
+        RNG-ordered producer (PIL's own crop is eager since Pillow 3.4)."""
+        from PIL import Image
+
+        from diffews_tpu.data.base import EpisodicDataset
+
+        p = tmp_path / "img.jpg"
+        Image.fromarray(np.random.default_rng(0).integers(
+            0, 255, (60, 80, 3), np.uint8)).save(p)
+        im = Image.open(p)
+        loads = []
+        orig = im.load
+        im.load = lambda: (loads.append(1), orig())[1]
+        lazy = EpisodicDataset._crop_img(im, 4, 4, 44, 34)
+        assert lazy.size == (40, 30) and not loads
+        out = lazy.convert("RGB")
+        assert loads and out.size == (40, 30)
+
     def test_pascal_cd_episode(self, tmp_path):
         syn.make_pascal_cd(str(tmp_path))
         FSSDataset.initialize(32, str(tmp_path))
