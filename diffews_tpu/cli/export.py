@@ -27,7 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bsz", type=int, default=8)
     p.add_argument("--nshot", type=int, default=1)
     p.add_argument("--img-size", type=int, default=512, dest="img_size")
-    p.add_argument("--half_precision", action="store_true", default=True)
+    p.add_argument("--half_precision", action="store_true", default=False,
+                   help="export the bf16 program (recommended for TPU "
+                        "serving); default f32, matching evaluate's flag")
     p.add_argument("--attn_impl", type=str, default="auto")
     p.add_argument("--vae_impl", type=str, default="xla",
                    choices=["xla", "fused", "mixed", "auto", "int8"])

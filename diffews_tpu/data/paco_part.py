@@ -24,8 +24,12 @@ from diffews_tpu.data.masks import segmentation_to_mask
 
 
 def _crop_xywh(arr: np.ndarray, box):
+    # clamp negatives to 0 so the mask crop stays aligned with the paired
+    # image crop (`base._crop_img` clamps; raw numpy slicing would WRAP a
+    # negative start to the array's far edge and yield an empty slice)
     x, y, w, h = (int(v) for v in box)
-    return arr[y : y + h, x : x + w]
+    x0, y0 = max(x, 0), max(y, 0)
+    return arr[y0 : max(y + h, y0), x0 : max(x + w, x0)]
 
 
 class DatasetPACOPart(EpisodicDataset):

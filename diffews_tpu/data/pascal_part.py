@@ -27,8 +27,11 @@ SUPER_CATEGORIES = ["animals", "indoor", "person", "vehicles"]
 
 
 def _crop_xyxy(arr: np.ndarray, box):
+    # clamp negatives to 0 to stay aligned with `base._crop_img` (raw numpy
+    # slicing would wrap a negative start to the far edge: empty slice)
     x0, y0, x1, y1 = (int(v) for v in box)
-    return arr[y0:y1, x0:x1]
+    x0, y0 = max(x0, 0), max(y0, 0)
+    return arr[y0 : max(y1, y0), x0 : max(x1, x0)]
 
 
 class DatasetPASCALPart(EpisodicDataset):

@@ -33,6 +33,7 @@ Reference parity baseline: the reference has no quantized path at all
 
 from __future__ import annotations
 
+import threading
 from typing import Any, Callable, Optional
 
 import jax
@@ -67,8 +68,12 @@ class SitePath:
 
 
 # site path -> traced amax scalar, populated by layers.conv2d while a
-# calibration trace is live (None = off)
+# calibration trace is live (None = off).  Guarded by _CALIB_LOCK: two
+# concurrent calibrations would cross-record each other's activations
+# under the same site paths (or silently drop records), yielding wrong or
+# partial scale dicts with no error.
 _CALIB: Optional[dict] = None
+_CALIB_LOCK = threading.Lock()
 
 
 def record_calibration(p: dict, x: jax.Array) -> None:
@@ -115,11 +120,12 @@ def calibrate_conv_scales(run_fn: Callable, tagged_params: Any, *inputs,
         run_fn(p, *i)  # outputs unused; the amax records are the product
         return dict(_CALIB)
 
-    _CALIB = {}
-    try:
-        amaxes = jax.jit(wrapper)(tagged_params, *inputs)
-    finally:
-        _CALIB = None
+    with _CALIB_LOCK:
+        _CALIB = {}
+        try:
+            amaxes = jax.jit(wrapper)(tagged_params, *inputs)
+        finally:
+            _CALIB = None
     return {k: float(v) * margin for k, v in amaxes.items()}
 
 

@@ -320,6 +320,33 @@ class TestPartBenchmarks:
         np.testing.assert_array_equal(got, want)
         assert EpisodicDataset._crop_img(pal, 30, 35, 99, 99).size == (10, 5)
 
+    def test_negative_box_keeps_image_and_mask_aligned(self):
+        """A slightly-negative bbox coordinate must clamp identically for
+        the image and the mask crop — raw numpy slicing would WRAP the
+        negative start (empty mask) while the image clamps, silently
+        pairing a valid support image with a garbage mask."""
+        from PIL import Image
+
+        from diffews_tpu.data.base import EpisodicDataset
+        from diffews_tpu.data.paco_part import _crop_xywh
+        from diffews_tpu.data.pascal_part import _crop_xyxy
+
+        rng = np.random.default_rng(5)
+        arr = rng.integers(0, 255, (30, 40, 3), np.uint8)
+        mask = rng.integers(0, 2, (30, 40)).astype(np.uint8)
+        img = Image.fromarray(arr)
+
+        # xywh with x=-3: image crop covers [0:7]; mask must match
+        got_m = _crop_xywh(mask, (-3, 2, 10, 10))
+        got_i = EpisodicDataset._crop_img(img, -3, 2, -3 + 10, 2 + 10)
+        assert got_m.shape == (10, 7)
+        assert got_i.size == (7, 10)
+        np.testing.assert_array_equal(got_m, mask[2:12, 0:7])
+
+        got_m2 = _crop_xyxy(mask, (-5, -2, 8, 9))
+        got_i2 = EpisodicDataset._crop_img(img, -5, -2, 8, 9)
+        assert got_m2.shape == (9, 8) and got_i2.size == (8, 9)
+
     def test_box_crop_defers_the_decode(self, tmp_path):
         """The crop proxy must not decode the source until convert() — the
         point is that the JPEG decode runs on a finalize worker, not the
