@@ -13,6 +13,27 @@ def _rand(*shape, seed=0):
     return jnp.asarray(np.random.default_rng(seed).normal(size=shape).astype(np.float32))
 
 
+@pytest.mark.parametrize("sq,skv,d", [
+    # odd/prime lengths force _pick_block to fall back to a full-extent
+    # block; non-power-of-two head dims exercise the (bq, d) scratch
+    (96, 112, 80),
+    (97, 101, 64),   # primes: single q/kv block each
+    (64, 160, 48),
+])
+def test_matches_dense_odd_shapes(sq, skv, d):
+    """The kernel must stay correct off the 64^2-tuned happy path — the
+    VAE mid-attention (d=512) and padded few-shot folds hit irregular
+    extents in practice."""
+    b, h = 2, 2
+    q = _rand(b, sq, h, d, seed=31)
+    k = _rand(b, skv, h, d, seed=32)
+    v = _rand(b, skv, h, d, seed=33)
+    got = flash_attention(q, k, v)
+    want = dense_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("sq,skv", [(64, 64), (64, 128), (128, 384)])
 def test_matches_dense(sq, skv):
     b, h, d = 2, 2, 64
