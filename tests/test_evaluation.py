@@ -64,3 +64,41 @@ class TestAverageMeter:
         m.update(np.array([[1, 2], [3, 4]]), np.array([[2, 4], [6, 8]]), [0, 1])
         miou, _, _ = m.compute_iou()
         assert abs(miou - 50.0) < 1e-6
+
+
+class TestVisualizer:
+    def test_episode_strips_written_with_class_and_iou_tags(self, tmp_path):
+        """The reference dumps [supports | query GT | prediction] strips
+        named by class id and IoU under the vis dir (`common/vis.py:30-74`,
+        `main_oss.py:159-165`); ours must produce the same artifact kind."""
+        import os
+
+        from diffews_tpu.evaluation.vis import Visualizer
+
+        rng = np.random.default_rng(0)
+        b, n, s = 2, 1, 16
+        Visualizer.initialize(True, str(tmp_path / "vis"))
+        try:
+            Visualizer.visualize_prediction_batch(
+                rng.uniform(-1, 1, (b, n, 3, s, s)).astype(np.float32),
+                rng.integers(0, 2, (b, n, s, s)).astype(np.float32),
+                rng.uniform(-1, 1, (b, 3, s, s)).astype(np.float32),
+                rng.integers(0, 2, (b, s, s)).astype(np.float32),
+                rng.integers(0, 2, (b, s, s)).astype(np.float32),
+                np.array([3, 7]), batch_idx=0,
+                iou=np.array([0.5, 0.25]),
+            )
+        finally:
+            Visualizer.initialize(False)
+        files = sorted(os.listdir(tmp_path / "vis"))
+        assert len(files) == b
+        assert any("class-3" in f and "iou-0.50" in f for f in files)
+        assert any("class-7" in f and "iou-0.25" in f for f in files)
+
+    def test_noop_when_disabled(self, tmp_path):
+        from diffews_tpu.evaluation.vis import Visualizer
+
+        Visualizer.initialize(False, str(tmp_path / "vis2"))
+        Visualizer.visualize_prediction_batch(
+            None, None, np.zeros((1, 3, 4, 4)), None, None, [0], 0)
+        assert not (tmp_path / "vis2").exists()
