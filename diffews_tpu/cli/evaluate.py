@@ -67,8 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard each episode's SUPPORT SHOTS over this many "
                         "chips (a jax.sharding 'shots' mesh; must divide "
                         "--nshot): shot-parallel serving for episodes "
-                        "whose nshot*hw KV outgrows one chip. Mutually "
-                        "exclusive with --num_data_shards.")
+                        "whose nshot*hw KV outgrows one chip. Composes "
+                        "with --num_data_shards (a 2-D data x shots mesh "
+                        "over num_data_shards*num_shot_shards chips).")
     p.add_argument("--num_data_shards", type=int, default=1,
                    help="shard the episode batch over this many chips "
                         "(a jax.sharding 'data' mesh; bsz must divide it). "
@@ -121,13 +122,17 @@ def evaluate(args, pipe=None, raw_images: bool = True) -> tuple[float, float]:
     if args.num_shot_shards > 1:
         from diffews_tpu.parallel import mesh as mesh_lib
 
-        if args.num_data_shards > 1:
-            raise SystemExit("--num_data_shards and --num_shot_shards are "
-                             "mutually exclusive")
         if args.nshot % args.num_shot_shards:
             raise SystemExit(f"--nshot {args.nshot} must be divisible by "
                              f"--num_shot_shards {args.num_shot_shards}")
-        shot_mesh = mesh_lib.make_shot_mesh(args.num_shot_shards)
+        # composing with --num_data_shards builds a 2-D ("data", "shots")
+        # mesh: batch rows over "data", each group's shots over "shots"
+        if args.num_data_shards > 1 and args.bsz % args.num_data_shards:
+            raise SystemExit(f"--bsz {args.bsz} must be divisible by "
+                             f"--num_data_shards {args.num_data_shards}")
+        shot_mesh = mesh_lib.make_shot_mesh(args.num_shot_shards,
+                                            n_data=args.num_data_shards)
+        mesh = None  # the 2-D shot mesh subsumes the plain data mesh
 
     if pipe is None:
         pipe = DiffewsPipeline.from_pretrained(

@@ -74,14 +74,20 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return Mesh(dev, axis_names=("data", "model"))
 
 
-def make_shot_mesh(n_shards: int, devices=None) -> Mesh:
-    """1-D ("shots",) mesh for shot-parallel episode serving
+def make_shot_mesh(n_shards: int, n_data: int = 1, devices=None) -> Mesh:
+    """("shots",) or ("data", "shots") mesh for shot-parallel serving
     (`DiffewsPipeline(shot_mesh=...)`): the episode's support shots shard
     across chips and the fused KV attention merges partial softmaxes via
-    psum (`ops/attention.py::shot_parallel_fused_kv_attention`)."""
+    psum over "shots" (`ops/attention.py::shot_parallel_fused_kv_attention`);
+    n_data > 1 additionally shards the episode batch over "data" (the axes
+    are independent — the merge collective rides only "shots")."""
     devices = devices if devices is not None else jax.devices()
-    assert n_shards <= len(devices), (
-        f"need {n_shards} devices, have {len(devices)}")
+    need = n_shards * n_data
+    assert need <= len(devices), (
+        f"need {need} devices, have {len(devices)}")
+    if n_data > 1:
+        return Mesh(np.asarray(devices[:need]).reshape(n_data, n_shards),
+                    axis_names=("data", "shots"))
     return Mesh(np.asarray(devices[:n_shards]), axis_names=("shots",))
 
 

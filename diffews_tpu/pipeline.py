@@ -143,8 +143,10 @@ class DiffewsPipeline:
         self.mesh = mesh
         self.shot_mesh = shot_mesh
         if mesh is not None and shot_mesh is not None:
-            raise ValueError("mesh (episode data-parallel) and shot_mesh "
-                             "(shot-parallel) are mutually exclusive")
+            raise ValueError(
+                "pass either mesh (episode data-parallel) or shot_mesh; to "
+                'compose them, give shot_mesh a 2-D ("data", "shots") mesh '
+                "(parallel.mesh.make_shot_mesh(n_shards, n_data=...))")
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -179,17 +181,25 @@ class DiffewsPipeline:
             # Serves episodes whose nshot·hw KV footprint outgrows one chip;
             # the reference's equivalent does not exist (single-GPU xformers
             # bank, `attention_processor.py:256-267`).
+            #
+            # A 2-D ("data", "shots") mesh composes this with episode-batch
+            # data parallelism (the axes are independent: batch rows shard
+            # over "data", each data-group's shots shard over "shots", and
+            # the softmax-merge psum rides only the "shots" axis).
             from jax.experimental.shard_map import shard_map
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             if "shots" not in shot_mesh.axis_names:
                 raise ValueError('shot_mesh must have a "shots" axis')
+            has_data = "data" in shot_mesh.axis_names
+            d_ax = "data" if has_data else None
             rep = NamedSharding(shot_mesh, P())
             put = lambda t: jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, rep), t)
             self.unet_params = put(self.unet_params)
             self.vae_params = put(self.vae_params)
             n_sh = shot_mesh.shape["shots"]
+            n_dp = shot_mesh.shape.get("data", 1)
 
             def _sharded(impl, unet_params, vae_params, query, supports,
                          masks, text_embed, shot_mask, denoising_steps):
@@ -197,6 +207,10 @@ class DiffewsPipeline:
                     raise ValueError(
                         f"the shots axis ({n_sh}) must divide n-shot "
                         f"{supports.shape[1]}; pad with shot_mask")
+                if supports.shape[0] % n_dp:
+                    raise ValueError(
+                        f"the data axis ({n_dp}) must divide the episode "
+                        f"batch {supports.shape[0]}")
                 if shot_mask is None:
                     shot_mask = jnp.ones(supports.shape[:2], bool)
                 f = partial(impl, unet_params, vae_params,
@@ -204,9 +218,9 @@ class DiffewsPipeline:
                             shot_axis="shots")
                 return shard_map(
                     f, mesh=shot_mesh,
-                    in_specs=(P(), P(None, "shots"), P(None, "shots"),
-                              P(), P(None, "shots")),
-                    out_specs=P(), check_rep=False,
+                    in_specs=(P(d_ax), P(d_ax, "shots"), P(d_ax, "shots"),
+                              P(), P(d_ax, "shots")),
+                    out_specs=P(d_ax), check_rep=False,
                 )(query, supports, masks, text_embed, shot_mask)
 
             self._predict_jit = jax.jit(

@@ -73,6 +73,14 @@ def test_evaluate_cli_shot_sharded_matches_unsharded(workdir):
     miou1, fb1 = main(common)
     miou2, fb2 = main(common + ["--num_shot_shards", "2"])
     assert abs(miou1 - miou2) < 1e-4 and abs(fb1 - fb2) < 1e-4
+    # composed 2-D data x shots serving mesh (2*2 = 4 of the 8 CPU devices);
+    # --max_episodes counts BATCHES, so bsz 2 x 1 batch = the same two
+    # episodes the bsz-1 runs above scored
+    assert common[-2:] == ["--max_episodes", "2"]
+    miou3, fb3 = main(common[:-2] + ["--max_episodes", "1", "--bsz", "2",
+                               "--num_shot_shards", "2",
+                               "--num_data_shards", "2"])
+    assert abs(miou1 - miou3) < 1e-4 and abs(fb1 - fb3) < 1e-4
 
 
 def test_export_cli_artifact_serves(workdir, tmp_path):

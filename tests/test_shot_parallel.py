@@ -196,6 +196,49 @@ class TestPipelineLevel:
             np.asarray(a.seg_colored).astype(np.int32),
             np.asarray(c.seg_colored).astype(np.int32), atol=1)
 
+    def test_2d_data_x_shots_mesh_matches_single_device(self):
+        """Composed serving mesh: batch 4 over a 4-wide "data" axis AND
+        2 shots over a 2-wide "shots" axis (8 devices total) must match
+        the unsharded pipeline — the softmax-merge psum rides only the
+        "shots" axis, so the axes are independent."""
+        import jax as _jax
+
+        from diffews_tpu import checkpoint as C
+        from diffews_tpu.configs import (CLIPTextConfig, SchedulerConfig,
+                                         UNetConfig, VAEConfig)
+        from diffews_tpu.models import unet, vae
+        from diffews_tpu.parallel.mesh import make_shot_mesh
+        from diffews_tpu.pipeline import DiffewsPipeline
+
+        ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
+        bundle = C.PipelineBundle(
+            _jax.jit(lambda r: unet.init_params(r, ucfg))(
+                _jax.random.PRNGKey(0)), ucfg,
+            _jax.jit(lambda r: vae.init_params(r, vcfg))(
+                _jax.random.PRNGKey(1)), vcfg,
+            None, CLIPTextConfig.tiny(), SchedulerConfig.diffews(),
+        )
+        mesh2d = make_shot_mesh(2, n_data=4)
+        assert mesh2d.axis_names == ("data", "shots")
+        base = DiffewsPipeline(bundle)
+        sharded = DiffewsPipeline(bundle, shot_mesh=mesh2d)
+
+        b, n, s = 4, 2, 32
+        rng = np.random.default_rng(11)
+        q = rng.integers(0, 255, (b, s, s, 3), np.uint8)
+        sup = rng.integers(0, 255, (b, n, s, s, 3), np.uint8)
+        msk = (rng.random((b, n, s, s)) > 0.5).astype(np.uint8)
+        sm = np.ones((b, n), bool)
+        sm[1, 1] = False
+
+        a = base.predict(q, sup, msk, shot_mask=jnp.asarray(sm),
+                         r_threshold=0.25)
+        c = sharded.predict(q, sup, msk, shot_mask=jnp.asarray(sm),
+                            r_threshold=0.25)
+        np.testing.assert_allclose(
+            np.asarray(a.seg_colored).astype(np.int32),
+            np.asarray(c.seg_colored).astype(np.int32), atol=1)
+
     def test_shot_mesh_rejects_indivisible_nshot(self):
         import jax as _jax
 
