@@ -88,6 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "TPU, batch-dependent rounding); 'int8' quantizes "
                         "the VAE 3x3 convs W8A8 for the MXU int8 rate "
                         "(fastest, accuracy-affecting opt-in)")
+    p.add_argument("--unet_int8", action="store_true",
+                   help="also quantize the UNet's self-attention/FFN "
+                        "linears W8A8 (ops/quant.py::unet_attention_linear;"
+                        " accuracy-affecting opt-in)")
     return p
 
 
@@ -146,6 +150,7 @@ def evaluate(args, pipe=None, raw_images: bool = True) -> tuple[float, float]:
             shot_mesh=shot_mesh,
             encode_chunks=args.encode_chunks,
             vae_impl=args.vae_impl,
+            unet_int8=args.unet_int8,
         )
 
     # raw_images: episodes stay uint8 HWC on the host; the pipeline

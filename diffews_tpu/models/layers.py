@@ -28,6 +28,17 @@ Params = dict
 
 
 def linear(p: Params, x: jax.Array) -> jax.Array:
+    """A param dict carrying "kernel_q" (int8 weights + per-out-feature
+    scales, `ops.quant.quantize_linear_tree` — the opt-in `unet_int8`
+    path) routes to the W8A8 MXU matmul."""
+    if "kernel_q" in p:
+        from diffews_tpu.ops.quant import linear_int8
+
+        return linear_int8(p, x)
+    if "q_site" in p:
+        from diffews_tpu.ops.quant import record_calibration
+
+        record_calibration(p, x)
     y = jnp.dot(x, p["kernel"].astype(x.dtype))
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)

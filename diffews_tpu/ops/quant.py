@@ -218,6 +218,102 @@ def quantize_conv_tree(params: Any, a_scales: Any = None) -> Any:
     return walk(params, "")
 
 
+# ---------------------------------------------------------------------------
+# int8 LINEAR layers (opt-in UNet attention/FFN quantization)
+# ---------------------------------------------------------------------------
+
+
+def _is_linear_param(node: Any) -> bool:
+    return (isinstance(node, dict) and "kernel" in node
+            and getattr(node["kernel"], "ndim", 0) == 2)
+
+
+def unet_attention_linear(path: str) -> bool:
+    """Default site filter for the opt-in int8 UNet (`unet_int8=True`):
+    the self-attention and feed-forward projections at the spatial-token
+    resolutions (attn1 q/k/v/out, GEGLU ff, transformer proj_in/out) —
+    where the joint pass's matmul FLOPs are.  Cross-attention (attn2)
+    stays fp: its context is the 2-token empty prompt (negligible
+    compute; keeps the text conditioning exact).  Time embeddings and
+    conv layers are untouched."""
+    return (".attn1." in path or ".ff." in path
+            or path.endswith(".proj_in") or path.endswith(".proj_out"))
+
+
+@jax.jit
+def _quantize_linear_kernel(kernel: jax.Array) -> tuple[jax.Array, jax.Array]:
+    k = kernel.astype(jnp.float32)
+    s_w = jnp.maximum(jnp.max(jnp.abs(k), axis=0) / 127.0, 1e-12)  # (out,)
+    k8 = jnp.clip(jnp.round(k / s_w), -127, 127).astype(jnp.int8)
+    return k8, s_w
+
+
+def quantize_linear_tree(params: Any, path_filter=unet_attention_linear,
+                         a_scales: Any = None) -> Any:
+    """Copy of a param tree with every 2-D-kernel linear whose path passes
+    `path_filter` re-expressed as {"kernel_q": int8 (in, out), "w_scale":
+    f32 (out,), ...}; `layers.linear` dispatches on "kernel_q".  Same
+    `a_scales` semantics as `quantize_conv_tree` (dict keyed by tree
+    path, float, or None = dynamic)."""
+
+    def walk(node, path):
+        if _is_linear_param(node) and path_filter(path):
+            k8, s_w = _quantize_linear_kernel(node["kernel"])
+            out = {k: v for k, v in node.items() if k != "kernel"}
+            out["kernel_q"] = k8
+            out["w_scale"] = s_w
+            if isinstance(a_scales, dict):
+                if path in a_scales:
+                    out["a_scale"] = jnp.float32(a_scales[path])
+            elif a_scales is not None:
+                out["a_scale"] = jnp.float32(a_scales)
+            return out
+        if isinstance(node, dict):
+            return {k: walk(v, f"{path}.{k}" if path else k)
+                    for k, v in node.items()}
+        return node
+
+    return walk(params, "")
+
+
+def tag_linear_sites(params: Any, path_filter=unet_attention_linear) -> Any:
+    """Calibration counterpart of `quantize_linear_tree` (see
+    `tag_conv_sites`)."""
+
+    def walk(node, path):
+        if _is_linear_param(node) and path_filter(path):
+            out = dict(node)
+            out["q_site"] = SitePath(path)
+            return out
+        if isinstance(node, dict):
+            return {k: walk(v, f"{path}.{k}" if path else k)
+                    for k, v in node.items()}
+        return node
+
+    return walk(params, "")
+
+
+def linear_int8(p: Any, x: jax.Array) -> jax.Array:
+    """W8A8 matmul: per-tensor activation scale (static "a_scale" if
+    present, else dynamic amax), int8 MXU dot with int32 accumulation,
+    per-out-feature dequant + bias in x's dtype."""
+    if "a_scale" in p:
+        s_a = p["a_scale"] / 127.0
+    else:
+        s_a = jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0
+    s_a = jnp.maximum(s_a, 1e-12)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_a), -127, 127)
+    xq = xq.astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, p["kernel_q"],
+        (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out = y.astype(jnp.float32) * (p["w_scale"] * s_a)
+    if "bias" in p:
+        out = out + p["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 def conv2d_int8(p: Any, x: jax.Array, *, stride: int = 1,
                 padding=((1, 1), (1, 1))) -> jax.Array:
     """W8A8 conv: per-tensor activation scale (static "a_scale" if present,

@@ -83,6 +83,7 @@ class DiffewsPipeline:
         shot_mesh=None,
         encode_chunks: int = 0,
         vae_impl: str = "xla",
+        unet_int8: bool = False,
     ):
         """mesh: optional `jax.sharding.Mesh` with a "data" axis — episode
         batches shard across chips and params replicate (multi-chip serving;
@@ -170,6 +171,30 @@ class DiffewsPipeline:
             self.empty_text_embed = jnp.zeros(
                 (1, 2, self.unet_cfg.cross_attention_dim), dtype=compute_dtype
             )
+
+        if unet_int8:
+            # Opt-in W8A8 UNet attention/FFN linears (attn1 q/k/v/out,
+            # GEGLU ff, transformer proj_in/out — `quant.
+            # unet_attention_linear`): same calibrated-static-scale scheme
+            # as the int8 VAE; cross-attention and convs stay fp.
+            # Accuracy-affecting, off by default; the headline stays bf16.
+            from diffews_tpu.ops import quant
+
+            rng = np.random.default_rng(0)
+            lh = 32  # ~ a 256px episode's latent grid; GN'd token stats
+            lat = jnp.asarray(rng.normal(size=(1, lh, lh, 4)), compute_dtype)
+            ref = jnp.asarray(rng.normal(size=(1, 1, lh, lh, 8)),
+                              compute_dtype)
+
+            def calib_run(p, lat, ref, ctx):
+                return unet.forward(p, self.unet_cfg, lat, 1, ctx,
+                                    ref_sample=ref, attn_impl=self.attn_impl)
+
+            tagged = quant.tag_linear_sites(self.unet_params)
+            scales = quant.calibrate_conv_scales(
+                calib_run, tagged, lat, ref, self.empty_text_embed)
+            self.unet_params = quant.quantize_linear_tree(
+                self.unet_params, a_scales=scales)
 
         if shot_mesh is not None:
             # Shot-parallel serving: the episode's SHOTS shard over the

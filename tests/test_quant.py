@@ -171,6 +171,91 @@ class TestPipelineInt8:
         assert agree > 0.95, agree
 
 
+class TestLinearInt8:
+    def test_linear_close_to_fp_and_batched_dims(self):
+        from diffews_tpu.models import layers as Lm
+        from diffews_tpu.ops.quant import quantize_linear_tree
+
+        rng = np.random.default_rng(20)
+        p = {"kernel": jnp.asarray(rng.normal(size=(64, 96)) * 0.05,
+                                   jnp.float32),
+             "bias": jnp.asarray(rng.normal(size=(96,)) * 0.01, jnp.float32)}
+        q = quantize_linear_tree({"attn1.to_q": p},
+                                 path_filter=lambda s: True)["attn1.to_q"]
+        assert q["kernel_q"].dtype == jnp.int8 and q["w_scale"].shape == (96,)
+        x = jnp.asarray(rng.normal(size=(2, 17, 64)), jnp.float32)
+        want = Lm.linear(p, x)
+        got = Lm.linear(q, x)
+        assert got.shape == want.shape and got.dtype == want.dtype
+        rel = float(jnp.max(jnp.abs(got - want)) / jnp.max(jnp.abs(want)))
+        assert rel < 0.03, rel
+
+    def test_default_filter_targets_attn1_ff_only(self):
+        from diffews_tpu.ops.quant import unet_attention_linear
+
+        assert unet_attention_linear(
+            "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q")
+        assert unet_attention_linear(
+            "mid_block.attentions.0.transformer_blocks.0.ff.net.0.proj")
+        assert unet_attention_linear("up_blocks.1.attentions.0.proj_out")
+        assert not unet_attention_linear(
+            "down_blocks.0.attentions.0.transformer_blocks.0.attn2.to_k")
+        assert not unet_attention_linear("time_embedding.linear_1")
+
+    def test_unet_forward_with_quantized_linears_close_to_fp(self):
+        from diffews_tpu.ops.quant import (calibrate_conv_scales,
+                                           quantize_linear_tree,
+                                           tag_linear_sites)
+
+        ucfg = UNetConfig.tiny()
+        up = jax.jit(lambda r: unet.init_params(r, ucfg))(jax.random.PRNGKey(4))
+        rng = np.random.default_rng(21)
+        lat = jnp.asarray(rng.normal(size=(1, 8, 8, 4)), jnp.float32)
+        ref = jnp.asarray(rng.normal(size=(1, 1, 8, 8, 8)), jnp.float32)
+        ctx = jnp.asarray(rng.normal(size=(1, 2, ucfg.cross_attention_dim)),
+                          jnp.float32)
+
+        def run(p, lat, ref, ctx):
+            return unet.forward(p, ucfg, lat, 1, ctx, ref_sample=ref)
+
+        scales = calibrate_conv_scales(run, tag_linear_sites(up),
+                                       lat, ref, ctx)
+        assert scales and all(".attn1." in k or ".ff." in k
+                              or k.endswith("proj_in")
+                              or k.endswith("proj_out") for k in scales)
+        q = quantize_linear_tree(up, a_scales=scales)
+        want = run(up, lat, ref, ctx)
+        got = run(q, lat, ref, ctx)
+        rel = float(jnp.max(jnp.abs(got - want)) /
+                    jnp.maximum(jnp.max(jnp.abs(want)), 1e-6))
+        assert rel < 0.2, rel
+
+    def test_pipeline_unet_int8_flag_runs(self):
+        from diffews_tpu import checkpoint as C
+        from diffews_tpu.pipeline import DiffewsPipeline
+
+        ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
+        bundle = C.PipelineBundle(
+            jax.jit(lambda r: unet.init_params(r, ucfg))(
+                jax.random.PRNGKey(0)), ucfg,
+            jax.jit(lambda r: vae.init_params(r, vcfg))(
+                jax.random.PRNGKey(1)), vcfg,
+            None, CLIPTextConfig.tiny(), SchedulerConfig.diffews(),
+        )
+        rng = np.random.default_rng(22)
+        b, n, s = 1, 1, 32
+        q = rng.integers(0, 255, (b, s, s, 3), np.uint8)
+        sup = rng.integers(0, 255, (b, n, s, s, 3), np.uint8)
+        msk = (rng.random((b, n, s, s)) > 0.5).astype(np.uint8)
+        fp = DiffewsPipeline(bundle).predict(q, sup, msk, r_threshold=0.25)
+        i8 = DiffewsPipeline(bundle, vae_impl="int8", unet_int8=True).predict(
+            q, sup, msk, r_threshold=0.25)
+        assert i8.seg_colored.shape == fp.seg_colored.shape
+        agree = np.mean((np.asarray(i8.seg_colored) > 127) ==
+                        (np.asarray(fp.seg_colored) > 127))
+        assert agree > 0.9, agree
+
+
 class TestInt8Composition:
     def test_int8_composes_with_shot_parallel_mesh(self):
         """vae_impl="int8" + shot_mesh: the quantized tree (int8 leaves +
