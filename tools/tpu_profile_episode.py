@@ -90,9 +90,11 @@ def main():
         jfn = jax.jit(lambda *t: fn(*t).astype(jnp.int32).sum())
         up, vp = a[0], a[1]
         if args.vae == "int8":
-            from diffews_tpu.ops.quant import quantize_conv_tree
+            from diffews_tpu.configs import VAEConfig
+            from diffews_tpu.ops import quant
 
-            vp = quantize_conv_tree(vp)
+            scales = quant.calibrate_vae_scales(vp, VAEConfig.sd())
+            vp = quant.quantize_conv_tree(vp, a_scales=scales)
         inp = (jnp.asarray(r.uniform(-1, 1, (b, s, s, 3)), dt),
                jnp.asarray(r.uniform(-1, 1, (b, n, s, s, 3)), dt),
                jnp.asarray(r.uniform(-1, 1, (b, n, s, s, 3)), dt),
