@@ -1,4 +1,4 @@
-"""Export an AOT serving artifact (StableHLO, weights baked in).
+"""Export an AOT serving artifact (StableHLO program + weights msgpack).
 
     python -m diffews_tpu.cli.export --checkpoint <ckpt> --out <dir> \
         [--bsz 8] [--nshot 1] [--img-size 512] [--vae_impl xla] \

@@ -1,7 +1,7 @@
 """AOT serving artifacts (`diffews_tpu/serving.py`).
 
-The exported StableHLO blob must reproduce the live pipeline bit-exactly
-(same program, weights baked as constants) and serve WITHOUT model code.
+The exported StableHLO blob (+ weights msgpack, passed as call arguments)
+must reproduce the live pipeline and serve WITHOUT model code.
 The reference has no deployment path beyond its eval script
 (`evaluation_util/main_oss.py`), so the contract here is self-defined:
 export -> serialize -> deserialize -> call == pipeline.
@@ -53,9 +53,9 @@ def test_roundtrip_matches_pipeline(pipe, tmp_path):
         jnp.asarray(q), jnp.asarray(sup), jnp.asarray(msk),
         pipe.empty_text_embed, jnp.asarray(sm), 1)
     assert got.dtype == jnp.uint8 and got.shape == (b, s, s, 3)
-    # weights are baked as CONSTANTS in the artifact (the live pipeline
-    # passes them as arguments), so XLA's fusion choices — and hence f32
-    # reduction order — can differ: allow the odd +-1 at a uint8 rounding
+    # the deserialized program is compiled separately from the live
+    # pipeline's, so XLA's fusion choices — and hence f32 reduction
+    # order — can differ: allow the odd +-1 at a uint8 rounding
     # boundary, but essentially everything must be bit-equal.
     g, w = np.asarray(got, np.int16), np.asarray(want, np.int16)
     np.testing.assert_allclose(g, w, atol=1)
