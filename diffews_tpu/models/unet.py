@@ -57,17 +57,42 @@ ATTN_EPS = 1e-6  # Transformer2D GroupNorm epsilon
 
 
 def _attn1(p, h, *, heads, ref_rows, n_shots, shot_mask, attn_impl,
-           sup_bias=None, shot_axis=None):
+           sup_bias=None, shot_axis=None, kv_capture=None, kv_iter=None):
     """Self-attention with KV fusion between the two streams.
 
     h: (R+B, S, C) where the first R = B*n_shots rows are the support
     stream.  With ref_rows=None this is plain self-attention.
+
+    kv_capture: trace-internal list — the folded support-stream K/V (and
+    the attn-mask bias, if any) of this site are appended as a
+    `(k_sup, v_sup, bias)` tuple (support-KV cache build; see
+    `forward`'s kv_capture doc).
+    kv_iter: iterator over previously captured `(k_sup, v_sup, bias)`
+    entries — query rows attend over `[own ‖ cached support]` K/V without
+    a live support stream.  A cache built with batch 1 broadcasts over a
+    larger query batch (one support set serving many queries).
     """
     q = split_heads(L.linear(p["to_q"], h), heads)
     k = split_heads(L.linear(p["to_k"], h), heads)
     v = split_heads(L.linear(p["to_v"], h), heads)
 
-    if ref_rows is None:
+    if kv_iter is not None:
+        k_sup, v_sup, cached_bias = next(kv_iter)
+        b = h.shape[0]
+        if k_sup.shape[0] != b:
+            k_sup = jnp.broadcast_to(k_sup, (b,) + k_sup.shape[1:])
+            v_sup = jnp.broadcast_to(v_sup, (b,) + v_sup.shape[1:])
+        if cached_bias is not None and cached_bias.shape[0] != b:
+            cached_bias = jnp.broadcast_to(
+                cached_bias, (b,) + cached_bias.shape[1:])
+        sm = shot_mask
+        if sm is not None and sm.shape[0] != b:
+            sm = jnp.broadcast_to(sm, (b,) + sm.shape[1:])
+        out = fused_kv_attention(
+            q, k, v, k_sup, v_sup, shot_mask=sm,
+            support_bias=cached_bias, impl=attn_impl,
+        )
+    elif ref_rows is None:
         out = fused_kv_attention(q, k, v, None, None, impl=attn_impl)
     else:
         r = ref_rows
@@ -80,6 +105,8 @@ def _attn1(p, h, *, heads, ref_rows, n_shots, shot_mask, attn_impl,
         # Query rows: attend over [own ‖ folded support] K/V.
         k_sup = k[:r].reshape(b, n_shots, s, heads, hd)
         v_sup = v[:r].reshape(b, n_shots, s, heads, hd)
+        if kv_capture is not None:
+            kv_capture.append((k_sup, v_sup, sup_bias))
         if shot_axis is not None:
             # shots sharded over a mesh axis: exact partial-softmax merge
             out_tag = shot_parallel_fused_kv_attention(
@@ -106,12 +133,13 @@ def _attn2(p, h, ctx, *, heads):
 
 
 def _basic_transformer_block(p, h, ctx, *, heads, stream_info, attn_impl):
-    ref_rows, n_shots, shot_mask, sup_bias, shot_axis = stream_info
+    (ref_rows, n_shots, shot_mask, sup_bias, shot_axis,
+     kv_capture, kv_iter) = stream_info
     h = h + _attn1(
         p["attn1"], L.layer_norm(p["norm1"], h),
         heads=heads, ref_rows=ref_rows, n_shots=n_shots,
         shot_mask=shot_mask, attn_impl=attn_impl, sup_bias=sup_bias,
-        shot_axis=shot_axis,
+        shot_axis=shot_axis, kv_capture=kv_capture, kv_iter=kv_iter,
     )
     h = h + _attn2(p["attn2"], L.layer_norm(p["norm2"], h), ctx, heads=heads)
     h = h + L.geglu_ff(p["ff"], L.layer_norm(p["norm3"], h))
@@ -159,6 +187,8 @@ def forward(
     attn_impl: str = "xla",
     remat: bool = False,
     shot_axis: Optional[str] = None,
+    kv_capture: Optional[list] = None,
+    kv_cache=None,
 ) -> jax.Array:
     """Joint support+query UNet forward.
 
@@ -197,8 +227,43 @@ def forward(
         bank, `attention_processor.py:256-267`).  The returned query
         prediction is replicated on every device.
 
+      kv_capture: optional trace-internal list — requires `ref_sample`;
+        at every fused self-attention site the folded support-stream
+        projections are appended as a `(k_sup, v_sup, bias)` tuple
+        ((B, N, S, H, D) each; bias is the attn-mask variant's per-level
+        key bias or None).  The caller packages the list into the jitted
+        program's outputs — this is the SUPPORT-KV CACHE build for
+        repeated-support serving, the functional equivalent of the
+        reference's persistent `k_bank`/`v_bank` mutation
+        (`attention_processor.py:251-261`), which the reference throws
+        away after every episode.
+      kv_cache: optional sequence of `(k_sup, v_sup, bias)` entries from a
+        prior kv_capture run, consumed in forward order; `ref_sample` must
+        be None.  The query stream runs alone and every self-attention
+        fuses the cached support K/V — ~half the UNet work and no support
+        VAE encodes for workloads that reuse one support set across many
+        queries.  A cache built with batch 1 broadcasts over any query
+        batch.  `shot_mask` applies to the cached shots.
+
     Returns: (B, H, W, out_channels) prediction for the query rows.
     """
+    if kv_cache is not None and ref_sample is not None:
+        raise ValueError("kv_cache replaces the support stream; "
+                         "pass either kv_cache or ref_sample, not both")
+    if kv_capture is not None and ref_sample is None:
+        raise ValueError("kv_capture requires ref_sample (a live support "
+                         "stream to capture)")
+    if shot_axis is not None and (kv_capture is not None or
+                                  kv_cache is not None):
+        raise ValueError("the support-KV cache does not compose with "
+                         "shot-parallel serving (a shard's cache would skip "
+                         "the cross-device softmax merge)")
+    if remat and (kv_capture is not None or kv_cache is not None):
+        # jax.checkpoint re-traces each layer for the backward pass, which
+        # would re-consume the cache iterator / leak captured tracers.
+        raise ValueError("kv_capture/kv_cache are serving features and do "
+                         "not compose with remat")
+    kv_iter = iter(kv_cache) if kv_cache is not None else None
     b = sample.shape[0]
     if ref_sample is not None:
         n_shots = ref_sample.shape[1]
@@ -259,7 +324,8 @@ def forward(
             sup_biases[sid] = (1.0 - m) * -10000.0
 
     def stream_at(sid):
-        return (ref_rows, n_shots, shot_mask, sup_biases.get(sid), shot_axis)
+        return (ref_rows, n_shots, shot_mask, sup_biases.get(sid), shot_axis,
+                kv_capture, kv_iter)
     g, eps = cfg.norm_num_groups, cfg.norm_eps
     n_levels = cfg.num_levels
 
@@ -330,6 +396,10 @@ def forward(
             h = maybe_ckpt(up_layer)(h, skip, emb, ctx)
         if i < n_levels - 1:
             h = L.upsample2d(blk["upsamplers"]["0"], h)
+
+    if kv_iter is not None and next(kv_iter, None) is not None:
+        raise ValueError("kv_cache has more entries than this config's "
+                         "fused self-attention sites")
 
     # --- output head: query rows only (support head is dead compute) ---
     if ref_rows:

@@ -49,6 +49,29 @@ class SegOutput:
 
 
 @dataclasses.dataclass
+class SupportCache:
+    """Precomputed support-set state for repeated-support serving.
+
+    The reference recomputes the support ("reference") UNet pass and the
+    support/mask VAE encodes for EVERY query even when the support set is
+    fixed (`marigold_pipeline_rgb_latent_noise.py:649-651,719-720` runs per
+    episode; the k/v bank is cleared after each step, `:715,725`).  This
+    caches that work once: per-attention-site folded support K/V plus the
+    shot validity mask, so each query pays only its own VAE encode, a
+    query-only UNet stream and the decode.
+
+    Built by `DiffewsPipeline.precompute_supports`; consumed by
+    `predict_cached` / `predict_cached_async`.  A cache built with batch 1
+    serves any query batch (the K/V broadcast).  Entries live on device.
+    """
+
+    entries: tuple  # per-site (k_sup, v_sup, bias-or-None) device arrays
+    shot_mask: Optional[jax.Array]  # (B, N) bool or None
+    n_shots: int
+    batch: int
+
+
+@dataclasses.dataclass
 class DepthOutput:
     """Counterpart of `MarigoldDepthOutput` (pipeline `:44-63`)."""
 
@@ -261,6 +284,8 @@ class DiffewsPipeline:
             self._predict_depth_jit = jax.jit(
                 self._predict_depth_impl, static_argnames=("denoising_steps",)
             )
+        self._capture_jit = jax.jit(self._capture_impl)
+        self._predict_cached_jit = jax.jit(self._predict_cached_impl)
 
     @classmethod
     def from_pretrained(
@@ -275,49 +300,29 @@ class DiffewsPipeline:
 
     # -- core jitted graph --------------------------------------------------
 
-    def _x0_latent(
-        self,
-        unet_params,
-        vae_params,
-        query: jax.Array,       # (B, H, W, 3) in [-1, 1]
-        supports: jax.Array,    # (B, N, H, W, 3) in [-1, 1]
-        masks: jax.Array,       # (B, N, H, W, 3) in [-1, 1]
-        text_embed: jax.Array,  # (1, L, D)
-        shot_mask: Optional[jax.Array],
-        denoising_steps: int,
-        shot_axis: Optional[str] = None,
-    ) -> jax.Array:
-        """Predicted x0 latent for the episode (shared by seg/depth heads)."""
-        b, n = supports.shape[0], supports.shape[1]
-        dt = self.compute_dtype
+    def _norm_img(self, x):
+        """In-graph uint8 ingestion: replay the host transform's exact f32
+        `/255, -0.5, /0.5` arithmetic (transforms.ImageTransform) so raw
+        uint8 uploads are bit-identical to host-normalized floats."""
+        if x.dtype == jnp.uint8:
+            x = (x.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+        return x.astype(self.compute_dtype)
 
-        # ---- in-graph ingestion (uint8 fast path) ----
-        # Accepting raw uint8 images and (B,N,H,W) {0,1} masks cuts the
-        # host->device upload ~8x per episode (bench: uint8 15 MB vs f32
-        # 125 MB at b8 512px 1-shot); normalization replays the host
-        # transform's exact f32 arithmetic (transforms.ImageTransform /
-        # `main_oss.py:100-104` mask folding) so numerics are unchanged.
-        def norm(x):
-            if x.dtype == jnp.uint8:
-                x = (x.astype(jnp.float32) / 255.0 - 0.5) / 0.5
-            return x.astype(dt)
-
-        query, supports = norm(query), norm(supports)
-        if masks.ndim == 4:  # (B, N, H, W) {0,1} -> (B, N, H, W, 3) in [-1,1]
+    def _norm_mask(self, masks):
+        """(B, N, H, W) {0,1} -> (B, N, H, W, 3) in [-1, 1] (the harness's
+        mask folding, `main_oss.py:100-104`); 5-D inputs pass through the
+        image normalization."""
+        if masks.ndim == 4:
             m = masks.astype(jnp.float32) * 2.0 - 1.0
-            masks = jnp.broadcast_to(m[..., None], m.shape + (3,)).astype(dt)
-        else:
-            masks = norm(masks)
+            return jnp.broadcast_to(
+                m[..., None], m.shape + (3,)).astype(self.compute_dtype)
+        return self._norm_img(masks)
 
-        # ---- single batched VAE encode for all three streams ----
-        all_imgs = jnp.concatenate(
-            [
-                query,
-                supports.reshape((b * n,) + supports.shape[2:]),
-                masks.reshape((b * n,) + masks.shape[2:]),
-            ],
-            axis=0,
-        )
+    def _encode_images(self, vae_params, all_imgs):
+        """Batched VAE mean-latent encode with the configured resnet impl
+        and the (auto-)chunked `lax.map` split for very large batches (see
+        __init__'s encode_chunks doc — numerics are unchanged, images are
+        independent through the VAE)."""
         if self.vae_impl == "auto":
             # opt-in heuristic: small encode batches can't saturate XLA's
             # spatially-partitioned convs; the fused Pallas resnet chain wins
@@ -345,9 +350,43 @@ class DiffewsPipeline:
             chunked = all_imgs.reshape(
                 (chunks, nimg // chunks) + all_imgs.shape[1:])
             lat = jax.lax.map(enc, chunked)
-            lat = lat.reshape((nimg,) + lat.shape[2:])
-        else:
-            lat = enc(all_imgs)
+            return lat.reshape((nimg,) + lat.shape[2:])
+        return enc(all_imgs)
+
+    def _x0_latent(
+        self,
+        unet_params,
+        vae_params,
+        query: jax.Array,       # (B, H, W, 3) in [-1, 1]
+        supports: jax.Array,    # (B, N, H, W, 3) in [-1, 1]
+        masks: jax.Array,       # (B, N, H, W, 3) in [-1, 1]
+        text_embed: jax.Array,  # (1, L, D)
+        shot_mask: Optional[jax.Array],
+        denoising_steps: int,
+        shot_axis: Optional[str] = None,
+    ) -> jax.Array:
+        """Predicted x0 latent for the episode (shared by seg/depth heads)."""
+        b, n = supports.shape[0], supports.shape[1]
+        dt = self.compute_dtype
+
+        # ---- in-graph ingestion (uint8 fast path) ----
+        # Accepting raw uint8 images and (B,N,H,W) {0,1} masks cuts the
+        # host->device upload ~8x per episode (bench: uint8 15 MB vs f32
+        # 125 MB at b8 512px 1-shot); normalization replays the host
+        # transform's exact f32 arithmetic so numerics are unchanged.
+        query, supports = self._norm_img(query), self._norm_img(supports)
+        masks = self._norm_mask(masks)
+
+        # ---- single batched VAE encode for all three streams ----
+        all_imgs = jnp.concatenate(
+            [
+                query,
+                supports.reshape((b * n,) + supports.shape[2:]),
+                masks.reshape((b * n,) + masks.shape[2:]),
+            ],
+            axis=0,
+        )
+        lat = self._encode_images(vae_params, all_imgs)
         lh, lw = lat.shape[1:3]
         q_lat = lat[:b]
         s_lat = lat[b : b + b * n].reshape(b, n, lh, lw, -1)
@@ -370,18 +409,76 @@ class DiffewsPipeline:
             latent, x0 = self.scheduler.step(v, int(t), latent)
         return x0
 
+    def _decode_seg(self, vae_params, x0) -> jax.Array:
+        """VAE decode + seg postprocess (pipeline `:784-802,887-905`):
+        clip(-1,1) -> [0,255] uint8 (the uint8 round-trip the reference
+        pays through PIL, kept for bit parity with `main_oss.py:128-137`)."""
+        img = vae.decode(vae_params, self.vae_cfg, x0, attn_impl=self.attn_impl)
+        img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
+        img = (img * 0.5 + 0.5) * 255.0
+        return jnp.clip(img, 0.0, 255.0).astype(jnp.uint8)
+
     def _predict_impl(self, unet_params, vae_params, query, supports, masks,
                       text_embed, shot_mask, denoising_steps,
                       shot_axis=None) -> jax.Array:
         x0 = self._x0_latent(unet_params, vae_params, query, supports, masks,
                              text_embed, shot_mask, denoising_steps,
                              shot_axis)
-        # ---- decode + seg postprocess (pipeline `:784-802,887-905`) ----
-        img = vae.decode(vae_params, self.vae_cfg, x0, attn_impl=self.attn_impl)
-        img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
-        img = (img * 0.5 + 0.5) * 255.0
-        img = jnp.clip(img, 0.0, 255.0).astype(jnp.uint8)
-        return img
+        return self._decode_seg(vae_params, x0)
+
+    def _capture_impl(self, unet_params, vae_params, supports, masks,
+                      text_embed) -> tuple:
+        """Encode a support set and capture per-site UNet support K/V.
+
+        Runs the support stream once (joint forward with a zero dummy
+        query — support rows are batch-independent of the query rows, so
+        the captured K/V are identical to a full episode's) and returns
+        the per-attention-site `(k_sup, v_sup, bias)` entries as jit
+        outputs."""
+        b, n = supports.shape[0], supports.shape[1]
+        supports = self._norm_img(supports)
+        masks = self._norm_mask(masks)
+        all_imgs = jnp.concatenate(
+            [
+                supports.reshape((b * n,) + supports.shape[2:]),
+                masks.reshape((b * n,) + masks.shape[2:]),
+            ],
+            axis=0,
+        )
+        lat = self._encode_images(vae_params, all_imgs)
+        lh, lw = lat.shape[1:3]
+        s_lat = lat[: b * n].reshape(b, n, lh, lw, -1)
+        m_lat = lat[b * n :].reshape(b, n, lh, lw, -1)
+        ref = jnp.concatenate([s_lat, m_lat], axis=-1)
+        ctx = jnp.broadcast_to(
+            text_embed, (b,) + text_embed.shape[1:]).astype(self.compute_dtype)
+        self.scheduler.set_timesteps(1)
+        t = int(self.scheduler.timesteps[0]) * self.test_timestep
+        dummy_q = jnp.zeros((b, lh, lw, self.unet_cfg.in_channels),
+                            self.compute_dtype)
+        cap: list = []
+        unet.forward(
+            unet_params, self.unet_cfg, dummy_q, t, ctx,
+            ref_sample=ref, attn_impl=self.attn_impl, kv_capture=cap,
+        )
+        return tuple(cap)
+
+    def _predict_cached_impl(self, unet_params, vae_params, query, entries,
+                             shot_mask, text_embed) -> jax.Array:
+        """Query-only episode against a precomputed support-KV cache."""
+        query = self._norm_img(query)
+        q_lat = self._encode_images(vae_params, query)
+        b = q_lat.shape[0]
+        ctx = jnp.broadcast_to(
+            text_embed, (b,) + text_embed.shape[1:]).astype(self.compute_dtype)
+        self.scheduler.set_timesteps(1)
+        t = int(self.scheduler.timesteps[0])
+        v = unet.forward(
+            unet_params, self.unet_cfg, q_lat, t * self.test_timestep, ctx,
+            shot_mask=shot_mask, attn_impl=self.attn_impl, kv_cache=entries,
+        )
+        _, x0 = self.scheduler.step(v, t, q_lat)
+        return self._decode_seg(vae_params, x0)
 
     def _predict_depth_impl(self, unet_params, vae_params, query, supports,
                             masks, text_embed, shot_mask, denoising_steps,
@@ -455,6 +552,103 @@ class DiffewsPipeline:
         if out_size is not None and tuple(img.shape[1:3]) != tuple(out_size):
             img = nearest_resize(img, tuple(out_size))
         return PendingSeg(img, r_threshold, threshold)
+
+    def precompute_supports(
+        self,
+        supports,
+        support_masks,
+        *,
+        shot_mask=None,
+    ) -> SupportCache:
+        """Encode a support set once for repeated-support serving.
+
+        Returns a `SupportCache` holding the per-attention-site support K/V
+        (and the shot validity mask) on device.  `predict_cached` then
+        serves any number of queries against it, skipping the support VAE
+        encodes and the UNet support stream every time — the dominant
+        real-world serving pattern (segment a whole dataset/video with one
+        annotated support set), which the reference recomputes per episode
+        (`marigold_pipeline_rgb_latent_noise.py:649-651,719-720`).
+
+        Build with batch 1 to serve arbitrary query batches (the cache
+        broadcasts), or batch B to pair row-for-row with B-row query
+        batches.  Accepts the same raw-uint8 / {0,1}-mask fast ingestion as
+        `predict`.  Not supported under shot-parallel serving (`shot_mesh`).
+        """
+        if self.shot_mesh is not None:
+            raise NotImplementedError(
+                "support-KV caching does not compose with shot-parallel "
+                "serving (the cache would skip the cross-chip softmax merge)")
+        supports = _to_nhwc(np.asarray(supports), 5)
+        support_masks = np.asarray(support_masks)
+        if support_masks.ndim == 5:
+            support_masks = _to_nhwc(support_masks, 5)
+        elif support_masks.ndim != 4:
+            raise ValueError(
+                f"support_masks must be 4-D {{0,1}} or 5-D 3-channel [-1,1]; "
+                f"got shape {support_masks.shape}")
+        entries = self._capture_jit(
+            self.unet_params, self.vae_params,
+            jnp.asarray(supports), jnp.asarray(support_masks),
+            self.empty_text_embed,
+        )
+        return SupportCache(
+            entries=entries,
+            shot_mask=None if shot_mask is None else jnp.asarray(shot_mask),
+            n_shots=supports.shape[1],
+            batch=supports.shape[0],
+        )
+
+    def predict_cached_async(
+        self,
+        query,
+        cache: SupportCache,
+        *,
+        denoising_steps: int = 1,
+        out_size: Optional[Tuple[int, int]] = None,
+        r_threshold: float = 0.0,
+        threshold: float = 0.0,
+    ) -> "PendingSeg":
+        """Dispatch queries against a precomputed `SupportCache`.
+
+        Computes the same math as `predict` with the same support set (the
+        support stream is batch-independent of the query stream, so its
+        K/V don't change between the capture run and a joint episode);
+        the decoded uint8 image can differ by at most the quantization
+        step at boundary pixels (the VAE encode runs at a different batch
+        size than the joint episode's, and XLA's fusion rounding is
+        batch-size-dependent — observed: <=1/3072 pixels off by 1).
+        Only `denoising_steps=1` is supported — the cache is captured at
+        the protocol's fixed timestep, and the DiffewS scheduler is the
+        degenerate one-step DDIM (extra steps are no-ops in the reference
+        too, SURVEY.md §3.5).
+        """
+        if denoising_steps != 1:
+            raise NotImplementedError(
+                "the support-KV cache is captured at the one-step protocol's "
+                "fixed timestep; multi-step denoising would need a per-t "
+                "cache (the reference's extra steps are identity no-ops)")
+        query = _to_nhwc(np.asarray(query), 4)
+        b = query.shape[0]
+        if cache.batch not in (1, b):
+            raise ValueError(
+                f"cache batch {cache.batch} must be 1 (broadcast) or match "
+                f"the query batch {b}")
+        img = self._predict_cached_jit(
+            self.unet_params,
+            self.vae_params,
+            jnp.asarray(query),
+            cache.entries,
+            cache.shot_mask,
+            self.empty_text_embed,
+        )
+        if out_size is not None and tuple(img.shape[1:3]) != tuple(out_size):
+            img = nearest_resize(img, tuple(out_size))
+        return PendingSeg(img, r_threshold, threshold)
+
+    def predict_cached(self, *args, **kw) -> SegOutput:
+        """Blocking form of `predict_cached_async`."""
+        return self.predict_cached_async(*args, **kw).result()
 
     def predict(self, *args, **kw) -> SegOutput:
         """Predict segmentation for a batch of episodes (blocking).
