@@ -63,6 +63,16 @@ def main():
         _ = p.result()
     print("3 episodes served with dispatch-ahead overlap")
 
+    # --- repeated-support serving: cache the support set once -----------
+    # One annotated support set serving many queries skips the support VAE
+    # encodes and the UNet support stream per query (the reference
+    # recomputes both every episode).
+    cache = pipe.precompute_supports(supports, support_masks)
+    query_batch = rng.integers(0, 255, (4, s, s, 3), np.uint8)
+    out = pipe.predict_cached(query_batch, cache, r_threshold=0.25)
+    print("4 queries served against the cached support set:",
+          out.seg_colored.shape)
+
 
 if __name__ == "__main__":
     main()
