@@ -58,6 +58,31 @@ def main():
             vae_params = quant.quantize_conv_tree(vae_params,
                                                   a_scales=scales)
             tag = "int8-vae"
+        if "unet" in sys.argv:
+            # Additionally quantize the UNet attn1/FFN linears (the
+            # pipeline's `unet_int8=True` path): same calibrated-static
+            # scheme, calibrated on a GN'd-stats latent like pipeline.py.
+            from diffews_tpu.configs import UNetConfig
+            from diffews_tpu.models import unet as unet_mod
+
+            ucfg = UNetConfig.sd21()
+            rng = np.random.default_rng(0)
+            lh = 32
+            lat = jnp.asarray(rng.normal(size=(1, lh, lh, 4)), jnp.bfloat16)
+            ref = jnp.asarray(rng.normal(size=(1, 1, lh, lh, 8)),
+                              jnp.bfloat16)
+            ctx = jnp.asarray(rng.normal(size=(1, 2, 1024)), jnp.bfloat16)
+
+            def calib_run(p, lat, ref, ctx):
+                return unet_mod.forward(p, ucfg, lat, 1, ctx,
+                                        ref_sample=ref, attn_impl="auto")
+
+            tagged = quant.tag_linear_sites(unet_params)
+            uscales = quant.calibrate_conv_scales(calib_run, tagged,
+                                                  lat, ref, ctx)
+            unet_params = quant.quantize_linear_tree(unet_params,
+                                                     a_scales=uscales)
+            tag += "+unet"
 
     def run(batch):
         b, n, s = batch, 1, 512
