@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "across processes")
     p.add_argument("--num_model_shards", type=int, default=1,
                    help="tensor-parallel mesh size")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO/FSDP: shard params + Adam moments + EMA over "
+                        "the data axis (per-chip state HBM scales 1/n_data; "
+                        "XLA all-gathers weights per layer and reduce-"
+                        "scatters grads). The reference's DDP replicates "
+                        "everything per GPU — no equivalent.")
     # checkpointing / logging
     p.add_argument("--checkpointing_steps", type=int, default=2000)
     p.add_argument("--checkpoints_total_limit", type=int, default=None)
@@ -213,13 +219,25 @@ def main(argv=None):
     m = mesh_lib.make_mesh(
         n_data=args.num_data_shards or None, n_model=args.num_model_shards
     )
-    state = init_state(tcfg, bundle.unet_params)
-    state = state._replace(
-        params=mesh_lib.shard_params(state.params, m, args.num_model_shards > 1)
-    )
+    state_sh = None
+    if args.fsdp:
+        # Born-sharded: no replicated param/optimizer copy ever exists on
+        # any chip (parallel/mesh.py::init_state_fsdp); the sharding tree
+        # pins the step's output layout so donated shards are reused.
+        state, state_sh = mesh_lib.init_state_fsdp(
+            tcfg, bundle.unet_params, m,
+            tensor_parallel=args.num_model_shards > 1,
+        )
+    else:
+        state = init_state(tcfg, bundle.unet_params)
+        state = state._replace(
+            params=mesh_lib.shard_params(state.params, m,
+                                         args.num_model_shards > 1)
+        )
     step_fn = jax.jit(
         make_train_step(tcfg, bundle.unet_cfg, bundle.vae_cfg),
         donate_argnums=(0,),
+        out_shardings=(state_sh, None) if state_sh is not None else None,
     )
     vae_p = jax.tree_util.tree_map(
         lambda x: x.astype(tcfg.compute_dtype), bundle.vae_params
@@ -247,6 +265,9 @@ def main(argv=None):
         )
         if ckpt:
             state, global_step = tck.load_checkpoint(ckpt, state)
+            if state_sh is not None:
+                # restore returns host arrays; re-commit the FSDP layout
+                state = jax.tree_util.tree_map(jax.device_put, state, state_sh)
             print(f"resumed from {ckpt} @ step {global_step}")
 
     # ---- data: round-robin over benchmarks (multitask) ----

@@ -20,6 +20,7 @@ import re
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -106,8 +107,51 @@ _TP_RULES = [
 ]
 
 
-def param_pspec_tree(params: dict, tensor_parallel: bool = False) -> dict:
-    """PartitionSpec tree matching `params` (replicated unless TP rules hit)."""
+# Leaves smaller than this stay replicated under FSDP: sharding a tiny bias
+# buys nothing and costs a per-step all-gather dispatch.
+_FSDP_MIN_ELEMS = 65536
+
+
+def _fsdp_dim(shape, n: Optional[int], avoid: Optional[int] = None,
+              min_elems: int = _FSDP_MIN_ELEMS) -> Optional[int]:
+    """Largest dim of `shape` evenly divisible by `n` (skipping `avoid`,
+    the dim a TP rule already owns); None = keep replicated."""
+    if not n or n <= 1 or int(np.prod(shape, dtype=np.int64)) < min_elems:
+        return None
+    for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
+        if i != avoid and shape[i] % n == 0 and shape[i] >= n:
+            return i
+    return None
+
+
+def shape_pspec(shape, fsdp_size: Optional[int],
+                min_elems: int = _FSDP_MIN_ELEMS) -> P:
+    """Shape-only FSDP PartitionSpec: "data" on the largest divisible dim.
+
+    Used for optimizer/EMA leaves (ZeRO: the Adam moments dominate training
+    HBM at SD-2.1 scale — f32 nu + mu is 2-3x the bf16 params — and unlike
+    the params they are never needed replicated, so their shards stay
+    resident and XLA touches them only in the elementwise update)."""
+    d = _fsdp_dim(shape, fsdp_size, min_elems=min_elems)
+    if d is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[d] = "data"
+    return P(*spec)
+
+
+def param_pspec_tree(params: dict, tensor_parallel: bool = False,
+                     fsdp_size: Optional[int] = None,
+                     fsdp_min_elems: int = _FSDP_MIN_ELEMS) -> dict:
+    """PartitionSpec tree matching `params`.
+
+    Replicated unless a TP rule hits ("model" on the matched matmul dim)
+    and/or `fsdp_size` is set (FSDP: "data" on the largest remaining dim of
+    every leaf >= 64k elements — ZeRO-3-style; XLA all-gathers a layer's
+    weights when the forward/backward needs them and reduce-scatters its
+    grads, so per-chip parameter+optimizer HBM scales 1/n_data while the
+    math is bit-identical SPMD).  The two compose: a TP'd kernel shards
+    "model" on its matmul dim and "data" on the other."""
 
     def rec(node, path):
         if isinstance(node, dict) and "kernel" not in node and "scale" not in node \
@@ -116,23 +160,85 @@ def param_pspec_tree(params: dict, tensor_parallel: bool = False) -> dict:
         # leaf module
         out = {}
         for leaf in node:
-            spec = P()
+            spec, tp_dim = P(), None
             if tensor_parallel and leaf == "kernel" and np.ndim(node[leaf]) == 2:
                 for rx, ps in _TP_RULES:
                     if rx.search(path):
                         spec = ps
+                        tp_dim = list(ps).index("model")
                         break
+            shape = np.shape(node[leaf])
+            fd = _fsdp_dim(shape, fsdp_size, avoid=tp_dim,
+                           min_elems=fsdp_min_elems)
+            if fd is not None:
+                full = list(spec) + [None] * (len(shape) - len(spec))
+                full[fd] = "data"
+                spec = P(*full)
             out[leaf] = spec
         return out
 
     return rec(params, "")
 
 
-def shard_params(params: dict, mesh: Mesh, tensor_parallel: bool = False) -> dict:
-    specs = param_pspec_tree(params, tensor_parallel)
+def shard_params(params: dict, mesh: Mesh, tensor_parallel: bool = False,
+                 fsdp: bool = False) -> dict:
+    fsdp_size = mesh.shape["data"] if fsdp else None
+    specs = param_pspec_tree(params, tensor_parallel, fsdp_size)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )
+
+
+def init_state_fsdp(tcfg, unet_params, mesh: Mesh,
+                    tensor_parallel: bool = False,
+                    fsdp_min_elems: int = _FSDP_MIN_ELEMS):
+    """Build a TrainState born FSDP-sharded; returns (state, shardings).
+
+    The eager `training.state.init_state` materializes the full replicated
+    optimizer state on every chip before any sharding — at SD-2.1 scale
+    that is ~10 GB and defeats FSDP on a 16 GB chip.  Here the params are
+    device_put straight into their (TP x) FSDP layout and the optimizer /
+    EMA trees are CREATED sharded (`jax.jit(tx.init, out_shardings=...)`
+    over `jax.eval_shape`), so no replicated copy ever exists.
+
+    `shardings` is a TrainState-shaped NamedSharding tree — pass it as the
+    train step's `out_shardings` so the layout is pinned across steps
+    (donated input buffers are then reused shard-for-shard).
+
+    The reference has no equivalent (DDP replicates params + Adam state on
+    every GPU, `train_icl_*_v3.py:1226-1228`); this is the jax.sharding
+    counterpart of ZeRO/FSDP.
+    """
+    from diffews_tpu.training import ema as ema_lib
+    from diffews_tpu.training import state as state_lib
+
+    n = mesh.shape["data"]
+    tx = state_lib.make_optimizer(tcfg)
+    pspecs = param_pspec_tree(unet_params, tensor_parallel, fsdp_size=n,
+                              fsdp_min_elems=fsdp_min_elems)
+    psh = jax.tree_util.tree_map(
+        lambda x, s: NamedSharding(mesh, s), unet_params, pspecs)
+    params = jax.tree_util.tree_map(jax.device_put, unet_params, psh)
+
+    opt_shapes = jax.eval_shape(tx.init, params)
+    osh = jax.tree_util.tree_map(
+        lambda t: NamedSharding(mesh, shape_pspec(t.shape, n, fsdp_min_elems)),
+        opt_shapes)
+    opt_state = jax.jit(tx.init, out_shardings=osh)(params)
+
+    ema = esh = None
+    if tcfg.use_ema:
+        ema_shapes = jax.eval_shape(ema_lib.init, params)
+        esh = jax.tree_util.tree_map(
+            lambda t: NamedSharding(mesh, shape_pspec(t.shape, n,
+                                                      fsdp_min_elems)),
+            ema_shapes)
+        ema = jax.jit(ema_lib.init, out_shardings=esh)(params)
+
+    state = state_lib.TrainState(params, opt_state, ema,
+                                 jnp.zeros((), jnp.int32))
+    shardings = state_lib.TrainState(psh, osh, esh, replicated(mesh))
+    return state, shardings
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -255,6 +255,95 @@ class TestDataParallel:
             np.asarray(s2.params["conv_out"]["kernel"]), rtol=1e-4, atol=1e-6,
         )
 
+    def test_fsdp_step_matches_unsharded(self, setup):
+        """ZeRO/FSDP state (params + Adam moments sharded over "data") runs
+        the identical SPMD math: loss and updated params match the
+        single-device step; the state is genuinely sharded (per-device
+        shards are smaller than the global leaf) and the pinned output
+        layout survives a second (donated) step."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ucfg, vcfg, up, vp, text = setup
+        cfg = TrainerConfig(gradient_accumulation_steps=1, use_ema=True,
+                            compute_dtype=jnp.float32, remat=False)
+        m = mesh_lib.make_mesh(n_data=8, n_model=1)
+        state_f, state_sh = mesh_lib.init_state_fsdp(cfg, up, m,
+                                                     fsdp_min_elems=8)
+
+        # at least one param leaf and one Adam-moment leaf actually sharded
+        def frac_sharded(tree):
+            leaves = [x for x in jax.tree_util.tree_leaves(tree)
+                      if hasattr(x, "addressable_shards") and x.ndim > 0]
+            return sum(x.addressable_shards[0].data.shape != x.shape
+                       for x in leaves), len(leaves)
+        ns, tot = frac_sharded(state_f.params)
+        assert ns > 0, "no param leaf sharded"
+        ns_opt, _ = frac_sharded(state_f.opt_state)
+        assert ns_opt > 0, "no optimizer leaf sharded"
+        ns_ema, _ = frac_sharded(state_f.ema.params)
+        assert ns_ema > 0, "no EMA leaf sharded"
+
+        step_f = jax.jit(make_train_step(cfg, ucfg, vcfg),
+                         out_shardings=(state_sh, None))
+        step = jax.jit(make_train_step(cfg, ucfg, vcfg))
+        state = init_state(cfg, up)
+
+        batch = _batch(gas=1, b=8)
+        sharded = {k: jax.device_put(v, NamedSharding(m, P(None, "data")))
+                   for k, v in batch.items()}
+        s1, m1 = step_f(state_f, sharded, jax.random.PRNGKey(0), vp, text)
+        s2, m2 = step(state, batch, jax.random.PRNGKey(0), vp, text)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(s1.params["conv_out"]["kernel"]),
+            np.asarray(s2.params["conv_out"]["kernel"]), rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(s1.ema.params["conv_out"]["kernel"]),
+            np.asarray(s2.ema.params["conv_out"]["kernel"]),
+            rtol=1e-4, atol=1e-6)
+        # layout is pinned: a second step accepts the first step's output
+        ns2, _ = frac_sharded(s1.params)
+        assert ns2 == ns
+        s1b, _ = step_f(s1, sharded, jax.random.PRNGKey(1), vp, text)
+        s2b, _ = step(s2, batch, jax.random.PRNGKey(1), vp, text)
+        np.testing.assert_allclose(
+            np.asarray(s1b.params["conv_out"]["kernel"]),
+            np.asarray(s2b.params["conv_out"]["kernel"]),
+            rtol=1e-4, atol=1e-6)
+
+    def test_fsdp_composes_with_tensor_parallel(self, setup):
+        """(data=4, model=2) mesh: TP'd kernels carry "model" on the matmul
+        dim AND "data" on the other; the step still matches unsharded."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ucfg, vcfg, up, vp, text = setup
+        cfg = TrainerConfig(gradient_accumulation_steps=1,
+                            compute_dtype=jnp.float32, remat=False)
+        m = mesh_lib.make_mesh(n_data=4, n_model=2)
+        state_f, state_sh = mesh_lib.init_state_fsdp(
+            cfg, up, m, tensor_parallel=True, fsdp_min_elems=8)
+        specs = mesh_lib.param_pspec_tree(up, tensor_parallel=True,
+                                          fsdp_size=4, fsdp_min_elems=8)
+        flat = jax.tree_util.tree_leaves_with_path(specs)
+        assert any("model" in s and "data" in s for _, s in flat), \
+            "no kernel carries both mesh axes"
+
+        step_f = jax.jit(make_train_step(cfg, ucfg, vcfg),
+                         out_shardings=(state_sh, None))
+        step = jax.jit(make_train_step(cfg, ucfg, vcfg))
+        state = init_state(cfg, up)
+        batch = _batch(gas=1, b=8)
+        sharded = {k: jax.device_put(v, NamedSharding(m, P(None, "data")))
+                   for k, v in batch.items()}
+        s1, m1 = step_f(state_f, sharded, jax.random.PRNGKey(0), vp, text)
+        s2, m2 = step(state, batch, jax.random.PRNGKey(0), vp, text)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(s1.params["conv_out"]["kernel"]),
+            np.asarray(s2.params["conv_out"]["kernel"]), rtol=1e-4, atol=1e-6)
+
     def test_tensor_parallel_forward_matches(self, setup):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
