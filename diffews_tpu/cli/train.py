@@ -79,6 +79,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "across processes")
     p.add_argument("--num_model_shards", type=int, default=1,
                    help="tensor-parallel mesh size")
+    # LoRA (no reference equivalent — the reference only full-fine-tunes,
+    # `train_icl_*_v3.py:1186`): rank-r adapters on the attention
+    # projections; checkpoints still write the MERGED model in diffusers
+    # layout, so eval/`--unet_ckpt_path` work unchanged.
+    p.add_argument("--lora_rank", type=int, default=0,
+                   help="0 = full fine-tuning; >0 trains LoRA adapters")
+    p.add_argument("--lora_alpha", type=float, default=None,
+                   help="LoRA scale numerator (default: rank, i.e. scale 1)")
+    p.add_argument("--lora_targets", type=str, default="attn",
+                   choices=["attn", "attn+ff"])
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO/FSDP: shard params + Adam moments + EMA over "
                         "the data axis (per-chip state HBM scales 1/n_data; "
@@ -213,6 +223,9 @@ def main(argv=None):
         lr_steps_per_opt_step=(
             args.gradient_accumulation_steps if args.reference_lr_quirk else 1
         ),
+        lora_rank=args.lora_rank,
+        lora_alpha=args.lora_alpha,
+        lora_targets=args.lora_targets,
     )
 
     # ---- mesh + sharding ----
@@ -220,7 +233,28 @@ def main(argv=None):
         n_data=args.num_data_shards or None, n_model=args.num_model_shards
     )
     state_sh = None
-    if args.fsdp:
+    base_c = None  # LoRA mode: frozen compute-dtype base UNet (jit arg)
+    if args.lora_rank > 0:
+        if args.fsdp:
+            raise SystemExit("--fsdp with --lora_rank is pointless (the "
+                             "adapter state is rank-sized); drop one")
+        from diffews_tpu.training import lora as lora_lib
+
+        base_c = jax.tree_util.tree_map(
+            lambda x: x.astype(tcfg.compute_dtype), bundle.unet_params)
+        lora0 = lora_lib.init_lora(
+            jax.random.PRNGKey(args.seed or 0), bundle.unet_params,
+            args.lora_rank, lora_lib.target_filter(args.lora_targets))
+        n_lora = sum(x.size for x in jax.tree_util.tree_leaves(lora0))
+        print(f"LoRA rank {args.lora_rank} ({args.lora_targets}): "
+              f"{n_lora/1e6:.2f}M trainable params")
+        state = init_state(tcfg, lora0)
+        step_fn = jax.jit(
+            lora_lib.make_lora_train_step(tcfg, bundle.unet_cfg,
+                                          bundle.vae_cfg),
+            donate_argnums=(0,),
+        )
+    elif args.fsdp:
         # Born-sharded: no replicated param/optimizer copy ever exists on
         # any chip (parallel/mesh.py::init_state_fsdp); the sharding tree
         # pins the step's output layout so donated shards are reused.
@@ -234,15 +268,26 @@ def main(argv=None):
             params=mesh_lib.shard_params(state.params, m,
                                          args.num_model_shards > 1)
         )
-    step_fn = jax.jit(
-        make_train_step(tcfg, bundle.unet_cfg, bundle.vae_cfg),
-        donate_argnums=(0,),
-        out_shardings=(state_sh, None) if state_sh is not None else None,
-    )
+    if args.lora_rank == 0:
+        step_fn = jax.jit(
+            make_train_step(tcfg, bundle.unet_cfg, bundle.vae_cfg),
+            donate_argnums=(0,),
+            out_shardings=(state_sh, None) if state_sh is not None else None,
+        )
     vae_p = jax.tree_util.tree_map(
         lambda x: x.astype(tcfg.compute_dtype), bundle.vae_params
     )
     text_e = jnp.asarray(text_embed)
+
+    def merged_unet_params(st):
+        """Full UNet tree for validation/checkpointing: the live params in
+        full-FT mode, base + adapters in LoRA mode."""
+        from diffews_tpu.training import lora as lora_lib
+
+        if args.lora_rank == 0:
+            return st.params
+        return lora_lib.merge_lora(base_c, st.params,
+                                   lora_lib.lora_scale(tcfg))
     # HBM hygiene at SD-2.1 scale (16 GB chip, observed RESOURCE_EXHAUSTED):
     #  - the bundle's f32 UNet tree duplicates `state.params` -> drop it
     #    (validation grafts the live training params back in);
@@ -264,7 +309,8 @@ def main(argv=None):
             else args.resume_from_checkpoint
         )
         if ckpt:
-            state, global_step = tck.load_checkpoint(ckpt, state)
+            state, global_step = tck.load_checkpoint(ckpt, state,
+                                                     lora=args.lora_rank > 0)
             if state_sh is not None:
                 # restore returns host arrays; re-commit the FSDP layout
                 state = jax.tree_util.tree_map(jax.device_put, state, state_sh)
@@ -335,9 +381,10 @@ def main(argv=None):
             import copy as _copy
 
             # bundle.unet_params was dropped to save HBM; graft the live
-            # training params in for pipeline construction
+            # training params (merged with the adapters in LoRA mode) in
+            # for pipeline construction
             vb = _copy.copy(bundle)
-            vb.unet_params = state.params
+            vb.unet_params = merged_unet_params(state)
             val_state["pipe"] = DiffewsPipeline(
                 vb, compute_dtype=tcfg.compute_dtype, attn_impl=args.attn_impl
             )
@@ -346,7 +393,7 @@ def main(argv=None):
             )
         pipe = val_state["pipe"]
         pipe.unet_params = jax.tree_util.tree_map(
-            lambda x: x.astype(tcfg.compute_dtype), state.params
+            lambda x: x.astype(tcfg.compute_dtype), merged_unet_params(state)
         )
         loader = val_state["loader"]
         meter = AverageMeter(loader.dataset.benchmark, loader.dataset.class_ids)
@@ -385,6 +432,24 @@ def main(argv=None):
         log_scalar("val_miou", miou, step)
         return miou
 
+    def save_ckpt(step, background):
+        """Checkpoint the state; in LoRA mode `unet/`/`unet_ema/` get the
+        MERGED model (reference-layout-compatible) and the raw adapter
+        trees ride in the aux msgpack for exact resume."""
+        kw = {}
+        if args.lora_rank > 0:
+            from diffews_tpu.training import lora as lora_lib
+
+            kw["params_override"] = merged_unet_params(state)
+            kw["extra_aux"] = {"lora": state.params}
+            if state.ema is not None:
+                kw["ema_override"] = lora_lib.merge_lora(
+                    base_c, state.ema.params, lora_lib.lora_scale(tcfg))
+                kw["extra_aux"]["lora_ema"] = state.ema.params
+        return tck.save_checkpoint(
+            args.output_dir, step, state, bundle.unet_cfg,
+            args.checkpoints_total_limit, background=background, **kw)
+
     batch_sh = mesh_lib.batch_sharding(m)
     key = jax.random.PRNGKey(args.seed or 0)
 
@@ -408,7 +473,10 @@ def main(argv=None):
 
         batch = mesh_lib.put_global_batch(batch, m, P(None, "data"))
         key, sub = jax.random.split(key)
-        state, metrics = step_fn(state, batch, sub, vae_p, text_e)
+        if args.lora_rank > 0:
+            state, metrics = step_fn(state, batch, sub, base_c, vae_p, text_e)
+        else:
+            state, metrics = step_fn(state, batch, sub, vae_p, text_e)
         global_step += 1
 
         if (global_step % args.logging_steps == 0 or global_step == 1) and is_main:
@@ -426,10 +494,7 @@ def main(argv=None):
         if global_step % args.checkpointing_steps == 0 and is_main:
             # background write: the multi-GB serialization overlaps the
             # next training steps (snapshot is taken synchronously)
-            handle = tck.save_checkpoint(
-                args.output_dir, global_step, state, bundle.unet_cfg,
-                args.checkpoints_total_limit, background=True,
-            )
+            handle = save_ckpt(global_step, background=True)
             print(f"saving {handle.ckpt_dir} (background)")
 
     if is_main:
@@ -439,8 +504,7 @@ def main(argv=None):
             # skip the final save when the in-loop cadence already wrote this
             # exact step (max_train_steps % checkpointing_steps == 0) — the
             # multi-GB re-serialization would be pure waste
-            tck.save_checkpoint(args.output_dir, global_step, state,
-                                bundle.unet_cfg, args.checkpoints_total_limit)
+            save_ckpt(global_step, background=False)
     if writer:
         writer.close()
     print("training done")

@@ -61,7 +61,8 @@ def wait_for_pending_saves():
 
 def save_checkpoint(output_dir: str, step: int, state: TrainState,
                     unet_cfg: UNetConfig, total_limit: Optional[int] = None,
-                    background: bool = False):
+                    background: bool = False, params_override=None,
+                    ema_override=None, extra_aux: Optional[dict] = None):
     """Serialize `state` under `checkpoint-{step}/` (diffusers layout).
 
     The device->host snapshot happens synchronously either way (the caller
@@ -71,15 +72,28 @@ def save_checkpoint(output_dir: str, step: int, state: TrainState,
     safetensors write off the training loop's critical path.  Writes land
     in `checkpoint-{step}.tmp` and are renamed at the end, so a crashed
     write is never picked up by `resume_from_checkpoint latest`.
+
+    LoRA mode (`cli/train.py --lora_rank`): `state.params` is the adapter
+    tree, which cannot be written as a diffusers UNet — the caller passes
+    the MERGED full trees as `params_override`/`ema_override` (so the
+    `unet/`/`unet_ema/` dirs stay reference-readable) and the raw adapter
+    state via `extra_aux` (e.g. ``{"lora": ..., "lora_ema": ...}``) for
+    exact resume.
     """
     wait_for_pending_saves()
     ckpt_dir = os.path.join(output_dir, f"checkpoint-{step}")
     tmp_dir = ckpt_dir + ".tmp"
-    params = jax.device_get(state.params)
-    ema_params = (jax.device_get(state.ema.params)
-                  if state.ema is not None else None)
+    params = jax.device_get(
+        params_override if params_override is not None else state.params)
+    if ema_override is not None:
+        ema_params = jax.device_get(ema_override)
+    else:
+        ema_params = (jax.device_get(state.ema.params)
+                      if state.ema is not None else None)
     aux = {"opt_state": jax.device_get(state.opt_state), "step": int(state.step),
            "ema_step": int(state.ema.step) if state.ema is not None else 0}
+    if extra_aux:
+        aux.update({k: jax.device_get(v) for k, v in extra_aux.items()})
 
     def write():
         shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -143,24 +157,37 @@ def latest_checkpoint(output_dir: str) -> Optional[str]:
     return os.path.join(output_dir, ckpts[-1]) if ckpts else None
 
 
-def load_checkpoint(ckpt_dir: str, template: TrainState) -> Tuple[TrainState, int]:
+def load_checkpoint(ckpt_dir: str, template: TrainState,
+                    lora: bool = False) -> Tuple[TrainState, int]:
     """Restore a TrainState from `checkpoint-{step}/` (template supplies the
-    pytree structure, e.g. a freshly-initialized state)."""
+    pytree structure, e.g. a freshly-initialized state).
+
+    With `lora=True` the trainable params are the adapter tree stored in
+    the aux msgpack (`extra_aux` at save time) — `unet/` holds the merged
+    model and is NOT loaded into the state (the base weights come from the
+    original pretrained checkpoint, which the adapters re-derive)."""
     import jax.numpy as jnp
 
-    params, _ = ckpt_lib.load_unet(os.path.join(ckpt_dir, "unet"))
+    aux_template = {"opt_state": jax.device_get(template.opt_state),
+                    "step": 0, "ema_step": 0}
+    if lora:
+        aux_template["lora"] = jax.device_get(template.params)
+        if template.ema is not None:
+            aux_template["lora_ema"] = jax.device_get(template.ema.params)
     with open(os.path.join(ckpt_dir, STATE_FILE), "rb") as f:
-        aux = serialization.from_bytes(
-            {"opt_state": jax.device_get(template.opt_state),
-             "step": 0, "ema_step": 0},
-            f.read(),
-        )
+        aux = serialization.from_bytes(aux_template, f.read())
+    params = (aux["lora"] if lora
+              else ckpt_lib.load_unet(os.path.join(ckpt_dir, "unet"))[0])
     ema = None
     if template.ema is not None:
         from diffews_tpu.training import ema as ema_lib
 
-        ema_dir = os.path.join(ckpt_dir, "unet_ema")
-        ema_params = ckpt_lib.load_unet(ema_dir)[0] if os.path.isdir(ema_dir) else params
+        if lora:
+            ema_params = aux["lora_ema"]
+        else:
+            ema_dir = os.path.join(ckpt_dir, "unet_ema")
+            ema_params = (ckpt_lib.load_unet(ema_dir)[0]
+                          if os.path.isdir(ema_dir) else params)
         ema = ema_lib.EMAState(ema_params, jnp.asarray(aux["ema_step"], jnp.int32))
     step = int(aux["step"])
     return TrainState(params, aux["opt_state"], ema, jnp.asarray(step, jnp.int32)), step

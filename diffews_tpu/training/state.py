@@ -67,6 +67,12 @@ class TrainerConfig:
     # non-finite loss/grad step is skipped instead of poisoning the params;
     # training aborts only after this many consecutive bad steps.
     max_nonfinite_steps: int = 10
+    # LoRA (training/lora.py; no reference equivalent): 0 = full fine-tuning
+    # (the reference's only mode).  rank > 0 trains low-rank adapters on the
+    # UNet's attention projections instead of the 866M base weights.
+    lora_rank: int = 0
+    lora_alpha: Optional[float] = None  # scale = alpha / rank; None -> rank
+    lora_targets: str = "attn"  # "attn" | "attn+ff"
     # Reference quirk parity: the diffusers-example loop the reference forked
     # calls `lr_scheduler.step()` once per MICRO-batch while counting
     # `max_train_steps` in optimizer steps (`train_icl_*_v3.py:1217-1223,
@@ -113,29 +119,14 @@ def init_state(cfg: TrainerConfig, unet_params: dict) -> TrainState:
     return TrainState(unet_params, opt_state, ema, jnp.zeros((), jnp.int32))
 
 
-def make_train_step(
-    cfg: TrainerConfig,
-    unet_cfg: UNetConfig,
-    vae_cfg: VAEConfig,
-):
-    """Returns `step_fn(state, batch, rng, vae_p, text_e) -> (state, metrics)`.
-
-    The frozen VAE params (`vae_p`, cast to the compute dtype) and text
-    embedding (`text_e`, (1,77,D)) are jit ARGUMENTS — closing over them
-    would inline gigabytes of weights into the HLO as constants and blow up
-    compilation at SD-2.1 scale.
-
-    `batch` fields, each with leading (gas, B) axes:
-      query:    (G, B, H, W, 3) in [-1, 1] — or raw uint8 0..255 (the exact
-                host-transform f32 arithmetic then runs in-graph, cutting
-                the h2d upload 4x; see `DiffewsPipeline._x0_latent`)
-      q_mask3:  (G, B, H, W, 3) mask as 3-channel [-1, 1] — or binary
-                (G, B, H, W) {0,1} any dtype, folded in-graph (12x less h2d)
-      supports: (G, B, N, H, W, 3) like query
-      s_mask3:  (G, B, N, H, W, 3) or binary (G, B, N, H, W) like q_mask3
-      shot_mask:(G, B, N) bool
-    """
-    tx = make_optimizer(cfg)
+def make_episode_loss(cfg: TrainerConfig, unet_cfg: UNetConfig,
+                      vae_cfg: VAEConfig):
+    """Returns `loss(params_c, vae_params_c, text_embed, micro, rng)` — the
+    reference's in-context regression objective on ONE micro-batch
+    (`train_icl_*_v3.py:1336-1384`; see `make_train_step` for the field
+    contract).  `params_c` is the UNet tree already in the compute dtype —
+    the caller decides how it is produced (a plain cast for full
+    fine-tuning, a LoRA merge for `training.lora`)."""
     dt = cfg.compute_dtype
 
     def norm_img(x):
@@ -149,7 +140,7 @@ def make_train_step(
             return jnp.broadcast_to(mf[..., None], mf.shape + (3,)).astype(dt)
         return norm_img(m)
 
-    def loss_fn(params, vae_params_c, text_embed, micro, rng):
+    def loss(params_c, vae_params_c, text_embed, micro, rng):
         q = norm_img(micro["query"])
         qm3 = norm_mask(micro["q_mask3"], micro["query"].ndim)
         sup = norm_img(micro["supports"])
@@ -178,7 +169,6 @@ def make_train_step(
         ref = jnp.concatenate([s_lat, sm_lat], axis=-1)
 
         ctx = jnp.broadcast_to(text_embed, (b,) + text_embed.shape[1:]).astype(dt)
-        params_c = jax.tree_util.tree_map(lambda x: x.astype(dt), params)
         pred = unet.forward(
             params_c, unet_cfg, q_lat, cfg.train_timestep, ctx,
             ref_sample=ref, shot_mask=shot_mask,
@@ -187,35 +177,74 @@ def make_train_step(
         target = -qm_lat
         return jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
 
+    return loss
+
+
+def accumulate_grads(loss_fn, train_params, extra, batch, rngs, gas):
+    """(loss, grads) of `loss_fn(train_params, *extra, micro, rng)` averaged
+    over the `gas` leading micro-batch axis of `batch` — grads w.r.t.
+    `train_params` only (argnum 0)."""
+    if gas == 1:
+        # no accumulator tree: saves a full fp32 grad-sized buffer
+        # (3.5 GB at SD-2.1 scale — the difference between fitting and
+        # OOMing 512px training on a 16 GB chip)
+        micro = jax.tree_util.tree_map(lambda x: x[0], batch)
+        return jax.value_and_grad(loss_fn)(
+            train_params, *extra, micro, rngs[0]
+        )
+
+    def micro_step(carry, inp):
+        micro, r = inp
+        l, grads = jax.value_and_grad(loss_fn)(train_params, *extra, micro, r)
+        acc_loss, acc_grads = carry
+        acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+        return (acc_loss + l, acc_grads), None
+
+    zero_grads = jax.tree_util.tree_map(
+        lambda p: jnp.zeros_like(p, dtype=jnp.float32), train_params
+    )
+    (loss_sum, grads), _ = jax.lax.scan(
+        micro_step, (jnp.zeros((), jnp.float32), zero_grads), (batch, rngs)
+    )
+    grads = jax.tree_util.tree_map(lambda g: g / gas, grads)
+    return loss_sum / gas, grads
+
+
+def make_train_step(
+    cfg: TrainerConfig,
+    unet_cfg: UNetConfig,
+    vae_cfg: VAEConfig,
+):
+    """Returns `step_fn(state, batch, rng, vae_p, text_e) -> (state, metrics)`.
+
+    The frozen VAE params (`vae_p`, cast to the compute dtype) and text
+    embedding (`text_e`, (1,77,D)) are jit ARGUMENTS — closing over them
+    would inline gigabytes of weights into the HLO as constants and blow up
+    compilation at SD-2.1 scale.
+
+    `batch` fields, each with leading (gas, B) axes:
+      query:    (G, B, H, W, 3) in [-1, 1] — or raw uint8 0..255 (the exact
+                host-transform f32 arithmetic then runs in-graph, cutting
+                the h2d upload 4x; see `DiffewsPipeline._x0_latent`)
+      q_mask3:  (G, B, H, W, 3) mask as 3-channel [-1, 1] — or binary
+                (G, B, H, W) {0,1} any dtype, folded in-graph (12x less h2d)
+      supports: (G, B, N, H, W, 3) like query
+      s_mask3:  (G, B, N, H, W, 3) or binary (G, B, N, H, W) like q_mask3
+      shot_mask:(G, B, N) bool
+    """
+    tx = make_optimizer(cfg)
+    dt = cfg.compute_dtype
+    episode_loss = make_episode_loss(cfg, unet_cfg, vae_cfg)
+
+    def loss_fn(params, vae_params_c, text_embed, micro, rng):
+        params_c = jax.tree_util.tree_map(lambda x: x.astype(dt), params)
+        return episode_loss(params_c, vae_params_c, text_embed, micro, rng)
+
     def step_fn(state: TrainState, batch, rng, vae_p, text_e) -> Tuple[TrainState, dict]:
         gas = batch["query"].shape[0]
         rngs = jax.random.split(rng, gas)
-
-        if gas == 1:
-            # no accumulator tree: saves a full fp32 grad-sized buffer
-            # (3.5 GB at SD-2.1 scale — the difference between fitting and
-            # OOMing 512px training on a 16 GB chip)
-            micro = jax.tree_util.tree_map(lambda x: x[0], batch)
-            loss, grads = jax.value_and_grad(loss_fn)(
-                state.params, vae_p, text_e, micro, rngs[0]
-            )
-        else:
-            def micro_step(carry, inp):
-                micro, r = inp
-                l, grads = jax.value_and_grad(loss_fn)(
-                    state.params, vae_p, text_e, micro, r)
-                acc_loss, acc_grads = carry
-                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
-                return (acc_loss + l, acc_grads), None
-
-            zero_grads = jax.tree_util.tree_map(
-                lambda p: jnp.zeros_like(p, dtype=jnp.float32), state.params
-            )
-            (loss_sum, grads), _ = jax.lax.scan(
-                micro_step, (jnp.zeros((), jnp.float32), zero_grads), (batch, rngs)
-            )
-            grads = jax.tree_util.tree_map(lambda g: g / gas, grads)
-            loss = loss_sum / gas
+        loss, grads = accumulate_grads(
+            loss_fn, state.params, (vae_p, text_e), batch, rngs, gas)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

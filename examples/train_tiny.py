@@ -63,6 +63,25 @@ def main():
         print(f"step {int(state.step)}: loss {float(metrics['loss']):.5f} "
               f"grad_norm {float(metrics['grad_norm']):.3f}")
 
+    # --- LoRA variant: train rank-r adapters instead of the base UNet ----
+    # (CLI: --lora_rank; optimizer state shrinks ~300x, checkpoints still
+    # write the merged model in diffusers layout.)
+    from diffews_tpu.training import lora as lora_lib
+
+    # fresh base tree: the donated full-FT step above consumed `up`'s buffers
+    base = jax.jit(lambda r: unet.init_params(r, ucfg))(jax.random.PRNGKey(0))
+    lcfg = TrainerConfig(max_train_steps=2, gradient_accumulation_steps=1,
+                         compute_dtype=jnp.float32, remat=False, lora_rank=4)
+    lora0 = lora_lib.init_lora(jax.random.PRNGKey(2), base, rank=4)
+    lstate = init_state(lcfg, lora0)
+    lstep = jax.jit(lora_lib.make_lora_train_step(lcfg, ucfg, vcfg),
+                    donate_argnums=(0,))
+    lstate, lm = lstep(lstate, batch, jax.random.PRNGKey(9), base, vp, text)
+    merged = lora_lib.merge_lora(base, lstate.params, lora_lib.lora_scale(lcfg))
+    n_lora = sum(x.size for x in jax.tree_util.tree_leaves(lstate.params))
+    print(f"LoRA step: loss {float(lm['loss']):.5f} "
+          f"({n_lora/1e3:.1f}k trainable params; merged tree ready)")
+
 
 if __name__ == "__main__":
     main()

@@ -235,6 +235,33 @@ def test_train_cli_fsdp_end_to_end(workdir, tmp_path):
     assert (out / "checkpoint-3" / "unet").is_dir()
 
 
+def test_train_cli_lora_end_to_end(workdir, tmp_path):
+    """--lora_rank through the real train CLI: adapters train, the written
+    checkpoint's unet/ is the MERGED model in diffusers layout (readable
+    by eval / the reference's --unet_ckpt_path), and resume restores the
+    raw adapter tree from the aux msgpack."""
+    from diffews_tpu.cli.train import main
+
+    out = tmp_path / "run_lora"
+    common = [
+        "--pretrained_model_name_or_path", str(workdir / "ckpt"),
+        "--datapath", str(workdir / "data"),
+        "--benchmark", "coco", "--fold", "0", "--nshot", "2",
+        "--resolution", "32", "--train_batch_size", "2",
+        "--num_data_shards", "2", "--gradient_accumulation_steps", "2",
+        "--checkpointing_steps", "2", "--logging_steps", "1",
+        "--output_dir", str(out), "--mixed_precision", "no", "--no_remat",
+        "--seed", "0", "--lora_rank", "2", "--use_ema",
+    ]
+    main(common + ["--max_train_steps", "2"])
+    p, _ = C.load_unet(str(out / "checkpoint-2" / "unet"))
+    assert "conv_in_ref" in p  # merged diffusers layout, not an adapter tree
+    assert (out / "checkpoint-2" / "unet_ema").is_dir()
+    main(common + ["--max_train_steps", "3",
+                   "--resume_from_checkpoint", "latest"])
+    assert (out / "checkpoint-3" / "unet").is_dir()
+
+
 def test_batched_eval_reproduces_bsz1_metrics(workdir):
     """--bsz N draws the identical seeded episode stream (sequential
     __getitem__ order) and per-episode thresholds, so the mIoU must match
