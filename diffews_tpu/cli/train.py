@@ -138,6 +138,16 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _mix(*parts: int) -> int:
+    """Deterministic 64-bit seed from integer parts (hash() is salted per
+    process and unusable for cross-run determinism)."""
+    import hashlib
+
+    h = hashlib.blake2b(",".join(str(p) for p in parts).encode(),
+                        digest_size=8)
+    return int.from_bytes(h.digest(), "little")
+
+
 def _episode_to_streams(batch, rng: random.Random, max_nshot: int):
     """Host-side per-step tensor prep, matching `train_icl_*_v3.py:1325-1340`:
     masks to 3-channel [-1,1]; random 1..max_nshot shot subset -> bool mask
@@ -191,7 +201,17 @@ def main(argv=None):
         # DDP-sampler equivalent); shot subsets likewise decorrelate
         random.seed(args.seed + proc_idx)
         np.random.seed(args.seed + proc_idx)
-    shot_rng = random.Random((args.seed if args.seed is not None else 0) + proc_idx)
+    # All training-stream randomness is counter-keyed rather than stateful:
+    # episode sampling by (seed, proc, benchmark, batch index) via the
+    # loader's batch_seed mode, shot subsets by (seed, proc, micro index),
+    # the noise key by fold_in(base, step).  The whole stream is a pure
+    # function of (seed, global_step), so resume continues the EXACT stream
+    # an uninterrupted run would see with no RNG state in checkpoints (the
+    # reference restores accelerate's pickled RNG blobs for a weaker
+    # restart-the-epoch guarantee, `train_icl_*_v3.py:1281-1306`), and the
+    # periodic-validation protocol (which replays the global seed-0 episode
+    # sequence) cannot perturb training.
+    base_seed = args.seed if args.seed is not None else 0
 
     # ---- models ----
     bundle = ckpt_lib.load_pipeline_bundle(
@@ -324,16 +344,25 @@ def main(argv=None):
         FSSDataset.build_dataloader(
             b, local_bs, args.dataloader_num_workers,
             args.fold, "trn", args.nshot,
+            batch_seed=_mix(base_seed, proc_idx, bi),
         )
-        for b in benchmarks
+        for bi, b in enumerate(benchmarks)
     ]
+    # resume continues the exact episode stream: micro-batch m draws from
+    # stream m % n, so after `consumed` micro-batches stream i has served
+    # ceil((consumed - i) / n) batches
+    consumed = global_step * args.gradient_accumulation_steps
+    for i, l in enumerate(loaders):
+        n = len(benchmarks)
+        l.set_position(consumed // n + (1 if i < consumed % n else 0))
 
     def endless(loader):
         while True:
             yield from loader
 
     streams = [endless(l) for l in loaders]
-    robin = itertools.cycle(streams)
+    rot = consumed % len(streams)
+    robin = itertools.cycle(streams[rot:] + streams[:rot])
 
     writer = None
     wandb_run = None
@@ -397,7 +426,11 @@ def main(argv=None):
         )
         loader = val_state["loader"]
         meter = AverageMeter(loader.dataset.benchmark, loader.dataset.class_ids)
-        np.random.seed(0)
+        # replay the seeded eval protocol through a PRIVATE RandomState(0)
+        # (identical draw sequence to `np.random.seed(0)` + global calls) —
+        # reseeding the GLOBAL RNG here would race with, and hijack, any
+        # concurrent global-RNG consumer
+        loader.dataset.rng = np.random.RandomState(0)
         grid_dir = os.path.join(args.output_dir, "validation")
         for i, vb in zip(range(args.validation_episodes), loader):
             smask = vb["support_masks"].astype(np.uint8)
@@ -458,7 +491,9 @@ def main(argv=None):
     losses = []
     while global_step < args.max_train_steps:
         micro = []
-        for _ in range(args.gradient_accumulation_steps):
+        for j in range(args.gradient_accumulation_steps):
+            mi = global_step * args.gradient_accumulation_steps + j
+            shot_rng = random.Random(_mix(base_seed, proc_idx, mi, 1))
             micro.append(
                 _episode_to_streams(next(next(robin)), shot_rng, args.nshot)
             )
@@ -472,7 +507,8 @@ def main(argv=None):
         from jax.sharding import PartitionSpec as P
 
         batch = mesh_lib.put_global_batch(batch, m, P(None, "data"))
-        key, sub = jax.random.split(key)
+        # counter-keyed (not a sequential split chain): resume-invariant
+        sub = jax.random.fold_in(key, global_step)
         if args.lora_rank > 0:
             state, metrics = step_fn(state, batch, sub, base_c, vae_p, text_e)
         else:

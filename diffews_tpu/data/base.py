@@ -60,6 +60,17 @@ class EpisodicDataset:
         # stays serialized in the producer, preserving the seeded episode
         # sequence exactly (SURVEY.md §7).
         self.defer_finalize = False
+        # RNG hook for episode sampling.  Defaults to the global NumPy
+        # legacy RNG module, replaying the reference's exact `seed(0)` draw
+        # sequence (`evaluation_util/main_oss.py:33-36`).  Training swaps in
+        # a private counter-keyed `np.random.RandomState` per batch
+        # (loader `batch_seed` mode) so the train stream is a pure function
+        # of (seed, batch index): exactly resumable with no RNG state in
+        # checkpoints, and immune to other global-RNG consumers (e.g. the
+        # periodic-validation protocol re-seeding).  `RandomState(s)` draws
+        # the identical sequence as `np.random.seed(s)` + global calls, so
+        # both paths share one behavior contract.
+        self.rng = np.random
 
     # -- helpers ------------------------------------------------------------
 

@@ -51,13 +51,13 @@ class DatasetCOCO(EpisodicDataset):
 
     def get_episode(self, idx):
         # idx intentionally ignored: uniform class sampling per episode.
-        class_id = np.random.choice(self.class_ids, 1, replace=False)[0]
+        class_id = self.rng.choice(self.class_ids, 1, replace=False)[0]
         pool = self.img_metadata_classwise[class_id]
-        query_name = np.random.choice(pool, 1, replace=False)[0]
+        query_name = self.rng.choice(pool, 1, replace=False)[0]
 
         support_names = []
         while True:
-            cand = np.random.choice(pool, 1, replace=False)[0]
+            cand = self.rng.choice(pool, 1, replace=False)[0]
             if cand != query_name:
                 support_names.append(cand)
             if len(support_names) == self.shot:

@@ -48,11 +48,16 @@ class FSSDataset:
 
     @classmethod
     def build_dataloader(cls, benchmark: str, bsz: int, nworker: int, fold: int,
-                         split: str, shot: int = 1) -> EpisodeLoader:
+                         split: str, shot: int = 1,
+                         batch_seed=None) -> EpisodeLoader:
         shuffle = split == "trn"
         # The reference forces nworker=0 for eval to keep the seeded episode
         # sequence reproducible (`dataset.py:46-47`).  Our threaded loader is
         # a SINGLE in-order producer, so prefetch preserves the exact RNG
         # consumption order — eval can overlap host IO with device compute.
+        # `batch_seed` (training) switches sampling to the counter-keyed
+        # private-RNG stream: deterministic, exactly resumable
+        # (`EpisodeLoader.set_position`), isolated from global-RNG consumers.
         dataset = cls.build_dataset(benchmark, fold, split, shot)
-        return EpisodeLoader(dataset, batch_size=bsz, shuffle=shuffle, num_workers=nworker)
+        return EpisodeLoader(dataset, batch_size=bsz, shuffle=shuffle,
+                             num_workers=nworker, batch_seed=batch_seed)

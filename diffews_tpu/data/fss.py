@@ -54,7 +54,7 @@ class DatasetFSS(EpisodicDataset):
 
         support_paths = []
         while True:
-            i = np.random.choice(range(1, 11), 1, replace=False)[0]
+            i = self.rng.choice(range(1, 11), 1, replace=False)[0]
             cand = os.path.join(os.path.dirname(query_path), f"{i}.jpg")
             if cand != query_path:
                 support_paths.append(cand)

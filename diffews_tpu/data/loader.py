@@ -52,15 +52,38 @@ def _resolve(ep: Dict) -> Dict:
 
 
 class EpisodeLoader:
+    """`batch_seed` (training mode) makes the episode stream a pure function
+    of `(batch_seed, global batch counter)`: before sampling batch number
+    `c`, the dataset's `rng` hook is pointed at a fresh
+    `np.random.RandomState` keyed by `(batch_seed, c)`, and each epoch's
+    shuffle permutation is keyed by `(batch_seed, epoch)`.  Consequences:
+
+      - exactly resumable: `set_position(n)` fast-forwards to batch `n`
+        in O(1) — no RNG state needs to live in training checkpoints
+        (the reference needs accelerate's pickled RNG blobs for a weaker
+        guarantee, `train_icl_*_v3.py:1281-1306`);
+      - isolated: other global-NumPy-RNG consumers (the periodic-validation
+        eval protocol, other benchmarks' loaders in a multitask round-robin)
+        cannot perturb the stream;
+      - worker-count invariant: sampling stays in one in-order producer.
+
+    Without `batch_seed` (eval), sampling draws from the dataset's default
+    hook — the global legacy RNG in exact reference call order."""
+
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  num_workers: int = 0, seed: Optional[int] = None,
-                 drop_last: bool = False):
+                 drop_last: bool = False, batch_seed: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = num_workers
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        self.batch_seed = (batch_seed & 0xFFFFFFFFFFFFFFFF
+                           if batch_seed is not None else None)
+        self._counter = 0  # total batches sampled across epochs
+        self._epoch = 0
+        self._pos = 0      # batches sampled within the current epoch
 
     def __len__(self):
         n = len(self.dataset)
@@ -68,20 +91,65 @@ class EpisodeLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def set_position(self, n_batches: int):
+        """Fast-forward the stream to just after batch `n_batches - 1`
+        (requires `batch_seed`; used by training resume)."""
+        if self.batch_seed is None:
+            raise ValueError("set_position requires batch_seed mode")
+        per_epoch = len(self)
+        self._counter = n_batches
+        self._epoch = n_batches // per_epoch
+        self._pos = n_batches % per_epoch
+
     def _index_batches(self) -> Iterator[List[int]]:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            self.rng.shuffle(idx)
+            if self.batch_seed is not None:
+                np.random.default_rng(
+                    np.random.SeedSequence([self.batch_seed, self._epoch])
+                ).shuffle(idx)
+            else:
+                self.rng.shuffle(idx)
         for i in range(0, len(idx), self.batch_size):
             batch = idx[i : i + self.batch_size]
             if self.drop_last and len(batch) < self.batch_size:
                 return
             yield list(batch)
 
+    def _sample_batch(self, batch_idx: List[int]) -> List[Dict]:
+        """Sample one batch's episodes (all RNG draws), advancing the
+        counters.  Must run in the single producer thread."""
+        if self.batch_seed is not None:
+            self.dataset.rng = np.random.RandomState(
+                np.random.SeedSequence(
+                    [self.batch_seed, self._counter]).generate_state(4))
+            self._counter += 1
+            self._pos += 1
+            if self._pos >= len(self):
+                self._epoch += 1
+                self._pos = 0
+            # sample AFTER the counter advance: the rng for this batch is
+            # already pinned, and a raising episode can't desync the stream
+            return [self.dataset[i] for i in batch_idx]
+        return [self.dataset[i] for i in batch_idx]
+
+    def _epoch_batches(self) -> Iterator[List[int]]:
+        """Index batches for the current epoch; in batch_seed mode, skips
+        any prefix already consumed (mid-epoch resume via `set_position`).
+        In eval mode every `__iter__` restarts the epoch from scratch —
+        consumers abandon mid-epoch and expect a restart (e.g. the
+        validation protocol takes the first N episodes each call)."""
+        skip = self._pos if self.batch_seed is not None else 0
+        for j, batch_idx in enumerate(self._index_batches()):
+            if j < skip:
+                continue
+            yield batch_idx
+
     def __iter__(self) -> Iterator[Dict]:
         if self.num_workers <= 0:
-            for batch_idx in self._index_batches():
-                yield collate([_resolve(self.dataset[i]) for i in batch_idx])
+            for batch_idx in self._epoch_batches():
+                yield collate([_resolve(ep) for ep in
+                               self._sample_batch(batch_idx)])
             return
 
         # Threaded prefetch: a producer thread fills a bounded queue so host
@@ -99,8 +167,8 @@ class EpisodeLoader:
         def producer():
             err: Optional[BaseException] = None
             try:
-                for batch_idx in self._index_batches():
-                    eps = [self.dataset[i] for i in batch_idx]  # RNG, in order
+                for batch_idx in self._epoch_batches():
+                    eps = self._sample_batch(batch_idx)  # RNG, in order
                     if pool is not None:
                         q.put([pool.submit(_resolve, ep) for ep in eps])
                     else:

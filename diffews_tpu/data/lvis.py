@@ -67,13 +67,13 @@ class DatasetLVIS(EpisodicDataset):
         class_id = self.class_ids_ori[idx % len(self.class_ids)]
         pool = self.img_metadata_classwise[class_id]
 
-        query_name = np.random.choice(list(pool.keys()), 1, replace=False)[0]
+        query_name = self.rng.choice(list(pool.keys()), 1, replace=False)[0]
         query_img = self._img(os.path.join(self.base_path, query_name))
         query_mask = self._union_mask(pool[query_name]["annotations"], query_img.size)
 
         support_names = []
         while True:
-            cand = np.random.choice(list(pool.keys()), 1, replace=False)[0]
+            cand = self.rng.choice(list(pool.keys()), 1, replace=False)[0]
             if cand != query_name:
                 support_names.append(cand)
             if len(support_names) == self.shot:

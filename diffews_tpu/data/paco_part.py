@@ -92,7 +92,7 @@ class DatasetPACOPart(EpisodicDataset):
                 objs.setdefault(anno["obj_ann_id"], {"bbox": [], "segms": []})
                 objs[anno["obj_ann_id"]]["bbox"].append(anno["obj_bbox"])
                 objs[anno["obj_ann_id"]]["segms"].append(anno["segmentation"])
-        sel = np.random.choice(list(objs.keys()), 1, replace=False)[0]
+        sel = self.rng.choice(list(objs.keys()), 1, replace=False)[0]
         bbox = objs[sel]["bbox"][0]
         segms = objs[sel]["segms"]
         if not decode:
@@ -111,10 +111,10 @@ class DatasetPACOPart(EpisodicDataset):
 
     def get_episode(self, idx):
         # idx ignored: uniform class sampling (reference `:36-38,128`)
-        class_id = np.random.choice(self.class_ids_ori, 1, replace=False)[0]
+        class_id = self.rng.choice(self.class_ids_ori, 1, replace=False)[0]
         pool = self.cid2img[class_id]
 
-        query = np.random.choice(pool, 1, replace=False)[0]
+        query = self.rng.choice(pool, 1, replace=False)[0]
         query_id, query_path = next(iter(query.items()))
         query_name = "/".join(query_path.split("/")[-2:])
         query_img = self._img(os.path.join(self.img_path, query_name))
@@ -122,7 +122,7 @@ class DatasetPACOPart(EpisodicDataset):
 
         support_names, support_segms, support_boxes = [], [], []
         while True:
-            sup = np.random.choice(pool, 1, replace=False)[0]
+            sup = self.rng.choice(pool, 1, replace=False)[0]
             sup_id, sup_path = next(iter(sup.items()))
             sup_name = "/".join(sup_path.split("/")[-2:])
             if sup_name != query_name:

@@ -88,7 +88,7 @@ class DatasetPASCAL(EpisodicDataset):
         pool = self.img_metadata_classwise[class_id]
         support_names = []
         while True:
-            cand = np.random.choice(pool, 1, replace=False)[0]
+            cand = self.rng.choice(pool, 1, replace=False)[0]
             if cand != query_name:
                 support_names.append(cand)
             if len(support_names) == self.shot:

@@ -84,7 +84,7 @@ class DatasetPASCALPart(EpisodicDataset):
             anno = json.load(f)
         candidates = [o for o in anno["object"] if o["name"] == obj_n]
         assert candidates
-        sel_obj = np.random.choice(candidates, 1, replace=False)[0]
+        sel_obj = self.rng.choice(candidates, 1, replace=False)[0]
         parts = [p for p in sel_obj["parts"] if p["name"] == part_n]
         if not parts:
             return None
@@ -110,7 +110,7 @@ class DatasetPASCALPart(EpisodicDataset):
         pool = self.cat_annos["object"][obj_n]["part"][part_n][self.meta_split]
 
         while True:
-            query_id = np.random.choice(pool, 1, replace=False)[0]
+            query_id = self.rng.choice(pool, 1, replace=False)[0]
             got = self._draw_instance(obj_n, part_n, query_id)
             if got is not None:
                 q_bbox, query_mask = got
@@ -120,7 +120,7 @@ class DatasetPASCALPart(EpisodicDataset):
 
         support_ids, support_masks, support_boxes = [], [], []
         while len(support_ids) < self.shot:
-            sup_id = np.random.choice(pool, 1, replace=False)[0]
+            sup_id = self.rng.choice(pool, 1, replace=False)[0]
             if sup_id == query_id or sup_id in support_ids:
                 continue
             got = self._draw_instance(obj_n, part_n, sup_id)

@@ -194,20 +194,37 @@ def test_train_cli_end_to_end(workdir, tmp_path):
         "--output_dir", str(out), "--mixed_precision", "no", "--no_remat",
         "--seed", "0",
     ]
-    main(common + ["--max_train_steps", "2", "--validation_steps", "2",
+    main(common + ["--max_train_steps", "4", "--validation_steps", "2",
                    "--validation_episodes", "2",
                    "--validation_image_grids", "1"])
     assert (out / "checkpoint-2" / "unet").is_dir()
+    assert (out / "checkpoint-4" / "unet").is_dir()
     # periodic validation wrote its episode strip grid + metric line
     assert (out / "validation" / "step-2_ep-0.jpg").is_file()
     assert "val mIoU" in (out / "eval_results.txt").read_text()
     # diffusers-layout checkpoint is loadable and has the dual input convs
     p, cfg = C.load_unet(str(out / "checkpoint-2" / "unet"))
     assert "conv_in_ref" in p
-    # resume continues past the restored step and writes the next rotation
-    main(common + ["--max_train_steps", "4",
-                   "--resume_from_checkpoint", "latest"])
-    assert (out / "checkpoint-4" / "unet").is_dir()
+    # EXACT resume: the training stream is a pure function of (seed, step)
+    # — episode sampling, shot subsets and noise keys are all counter-keyed
+    # — so resuming the straight run's mid-run checkpoint-2 in a FRESH
+    # output dir must land bitwise on the straight run's checkpoint-4
+    # weights.  max_train_steps is identical in both legs (the polynomial
+    # LR decay is a function of it, as in the reference), and only the
+    # straight run ran periodic validation: the bitwise match also proves
+    # validation (which replays the seeded eval protocol) cannot perturb
+    # the training stream.
+    out2 = tmp_path / "resumed"
+    common2 = [a if a != str(out) else str(out2) for a in common]
+    main(common2 + ["--max_train_steps", "4", "--resume_from_checkpoint",
+                    str(out / "checkpoint-2")])
+    assert (out2 / "checkpoint-4" / "unet").is_dir()
+    p_straight, _ = C.load_unet(str(out / "checkpoint-4" / "unet"))
+    p_resumed, _ = C.load_unet(str(out2 / "checkpoint-4" / "unet"))
+    import jax
+
+    jax.tree_util.tree_map(np.testing.assert_array_equal,
+                           p_resumed, p_straight)
 
 
 def test_train_cli_fsdp_end_to_end(workdir, tmp_path):

@@ -376,3 +376,83 @@ class TestPartBenchmarks:
         assert ds.class_ids == [5, 6, 7, 8, 9]
         ep = ds[0]
         assert ep["class_id"] in ds.class_ids
+
+
+class TestBatchSeedStream:
+    """Training-stream mode (`EpisodeLoader(batch_seed=...)`): the episode
+    sequence is a pure function of (batch_seed, global batch counter) —
+    deterministic, exactly resumable (`set_position`), worker-count
+    invariant, and isolated from the global NumPy RNG.  The reference gets
+    a weaker restart-the-epoch guarantee only by pickling RNG state into
+    checkpoints (accelerate `load_state`, `train_icl_*_v3.py:1281-1306`)."""
+
+    @pytest.fixture(scope="class")
+    def small_coco(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("bs_data"))
+        # trn fold0 => 60 classes x 2 imgs = 120 episodes = 10 batches @ bsz 12
+        syn.make_coco(root, imgs_per_class=2)
+        return root
+
+    @staticmethod
+    def _loader(root, batch_seed=123, workers=0):
+        FSSDataset.initialize(32, root)
+        return FSSDataset.build_dataloader("coco", 12, workers, 0, "trn", 1,
+                                           batch_seed=batch_seed)
+
+    @staticmethod
+    def _take(loader, n):
+        out = []
+        while len(out) < n:
+            for b in loader:  # endless-style re-iteration across epochs
+                out.append((list(b["query_name"]),
+                            [list(s) for s in b["support_names"]]))
+                if len(out) == n:
+                    break
+        return out
+
+    def test_deterministic_and_worker_invariant(self, small_coco):
+        a = self._take(self._loader(small_coco), 8)
+        b = self._take(self._loader(small_coco), 8)
+        assert a == b
+        # decode parallelism must not change the sampled stream
+        c = self._take(self._loader(small_coco, workers=2), 8)
+        assert a == c
+        # a different seed gives a different stream
+        d = self._take(self._loader(small_coco, batch_seed=7), 8)
+        assert a != d
+
+    def test_exact_resume_mid_and_cross_epoch(self, small_coco):
+        full = self._take(self._loader(small_coco), 25)  # crosses 2 epochs
+        for k in (3, 10, 23):  # mid-epoch, boundary, cross-epoch
+            resumed = self._loader(small_coco)
+            resumed.set_position(k)
+            assert self._take(resumed, 25 - k) == full[k:], f"skip={k}"
+
+    def test_isolated_from_global_rng(self, small_coco):
+        """Global-RNG consumers (e.g. the periodic-validation protocol
+        reseeding to replay the seed-0 eval episodes) must not perturb the
+        training stream."""
+        clean = self._take(self._loader(small_coco), 6)
+        loader = self._loader(small_coco)
+        noisy = []
+        for i in range(6):
+            np.random.seed(i)  # hostile: reseed global RNG between batches
+            np.random.random(17)
+            noisy.extend(self._take(loader, 1))
+        assert noisy == clean
+
+    def test_private_randstate_replays_global_seed0(self, small_coco):
+        """`RandomState(0)` must draw the identical episode sequence as
+        `np.random.seed(0)` + global draws — the validation protocol relies
+        on this to replay the reference's seeded eval episodes without
+        touching the global RNG."""
+        FSSDataset.initialize(32, small_coco)
+        ds = FSSDataset.build_dataset("coco", fold=0, split="test", shot=1)
+        np.random.seed(0)
+        via_global = [(ds[i]["query_name"], ds[i]["support_names"])
+                      for i in range(5)]
+        ds.rng = np.random.RandomState(0)
+        via_private = [(ds[i]["query_name"], ds[i]["support_names"])
+                       for i in range(5)]
+        assert via_global == via_private
+        ds.rng = np.random  # restore the shared dataset's default hook
