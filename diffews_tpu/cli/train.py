@@ -22,6 +22,8 @@ import argparse
 import itertools
 import os
 import random
+import signal
+import threading
 import time
 
 import numpy as np
@@ -136,6 +138,48 @@ def build_parser() -> argparse.ArgumentParser:
                        help="no-op (HF-datasets column naming; the episodic "
                             "FSS loader has no column concept)")
     return p
+
+
+def _install_preemption_handler():
+    """Graceful-preemption contract for managed TPU fleets (GKE/GCE send
+    SIGTERM with a grace period before reclaiming a preemptible/spot VM;
+    SLURM sends it at time-limit): the FIRST SIGTERM/SIGINT requests a
+    clean stop — finish the in-flight optimizer step, write a final
+    checkpoint, exit 0 — and, because the training stream is counter-keyed,
+    `--resume_from_checkpoint latest` continues the EXACT stream with zero
+    lost work beyond the current step.  A SECOND signal restores the
+    default disposition and re-delivers itself, so a wedged run can still
+    be killed.  The reference has no preemption story (an interrupted
+    accelerate run loses everything since its last cadence save).
+
+    Returns `(stop_event, restore_fn)`.  Signal handlers can only be
+    installed from the main thread; elsewhere (e.g. a library caller
+    driving `main()` from a worker thread) this degrades to a no-op event.
+    """
+    stop = threading.Event()
+    prev = {}
+
+    def handler(signum, frame):
+        if stop.is_set():  # second signal: give up gracefulness
+            signal.signal(signum, prev.get(signum, signal.SIG_DFL))
+            os.kill(os.getpid(), signum)
+            return
+        print(f"[preempt] received {signal.Signals(signum).name}: finishing "
+              "the current step, then checkpointing and exiting "
+              "(resume with --resume_from_checkpoint latest)", flush=True)
+        stop.set()
+
+    try:
+        for s in (signal.SIGTERM, signal.SIGINT):
+            prev[s] = signal.signal(s, handler)
+    except ValueError:  # not the main thread
+        return stop, lambda: None
+
+    def restore():
+        for s, h in prev.items():
+            signal.signal(s, h)
+
+    return stop, restore
 
 
 def _mix(*parts: int) -> int:
@@ -487,6 +531,7 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed or 0)
 
     os.makedirs(args.output_dir, exist_ok=True)
+    preempt, restore_signals = _install_preemption_handler()
     t0 = time.time()
     losses = []
     while global_step < args.max_train_steps:
@@ -533,16 +578,26 @@ def main(argv=None):
             handle = save_ckpt(global_step, background=True)
             print(f"saving {handle.ckpt_dir} (background)")
 
+        if preempt.is_set():
+            break
+
+    restore_signals()
     if is_main:
         tck.wait_for_pending_saves()
         final_dir = os.path.join(args.output_dir, f"checkpoint-{global_step}")
         if not os.path.isdir(final_dir):
             # skip the final save when the in-loop cadence already wrote this
             # exact step (max_train_steps % checkpointing_steps == 0) — the
-            # multi-GB re-serialization would be pure waste
+            # multi-GB re-serialization would be pure waste; the same path
+            # writes the preemption checkpoint (loop exited early)
             save_ckpt(global_step, background=False)
     if writer:
         writer.close()
+    if preempt.is_set():
+        print(f"training preempted at step {global_step}/{args.max_train_steps}"
+              f" — checkpoint-{global_step} written; resume with "
+              "--resume_from_checkpoint latest", flush=True)
+        return
     print("training done")
 
 

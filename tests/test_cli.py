@@ -227,6 +227,78 @@ def test_train_cli_end_to_end(workdir, tmp_path):
                            p_resumed, p_straight)
 
 
+def test_train_cli_preemption_checkpoint_and_exact_resume(workdir, tmp_path,
+                                                          monkeypatch):
+    """Graceful preemption: when the stop event trips mid-run (here,
+    deterministically after optimizer step 3 — an off-cadence step, so the
+    preemption save itself is exercised, not the cadence save), the CLI
+    must write checkpoint-{step} and exit cleanly, and resuming `latest`
+    must land bitwise on the straight run's final weights (the counter-
+    keyed stream makes a preempted+resumed run identical to an
+    uninterrupted one)."""
+    import diffews_tpu.cli.train as train_mod
+    from diffews_tpu.cli.train import main
+
+    out = tmp_path / "straight"
+    common = [
+        "--pretrained_model_name_or_path", str(workdir / "ckpt"),
+        "--datapath", str(workdir / "data"),
+        "--benchmark", "coco", "--fold", "0", "--nshot", "2",
+        "--resolution", "32", "--train_batch_size", "2",
+        "--num_data_shards", "2", "--gradient_accumulation_steps", "2",
+        "--checkpointing_steps", "2", "--logging_steps", "1",
+        "--output_dir", str(out), "--mixed_precision", "no", "--no_remat",
+        "--seed", "0", "--max_train_steps", "4",
+    ]
+    main(common)
+
+    class _TripAfter:
+        """Duck-typed stop event whose is_set() turns true at the Nth
+        per-step check (the loop checks once per optimizer step)."""
+
+        def __init__(self, n):
+            self.n = n
+            self.calls = 0
+
+        def is_set(self):
+            self.calls += 1
+            return self.calls >= self.n
+
+    monkeypatch.setattr(train_mod, "_install_preemption_handler",
+                        lambda: (_TripAfter(3), lambda: None))
+    out2 = tmp_path / "preempted"
+    common2 = [a if a != str(out) else str(out2) for a in common]
+    main(common2)
+    # preempted after step 3 (off the step-2/4 cadence): the preemption
+    # save wrote checkpoint-3, and checkpoint-4 must NOT exist
+    assert (out2 / "checkpoint-3" / "unet").is_dir()
+    assert not (out2 / "checkpoint-4").exists()
+    monkeypatch.undo()
+    main(common2 + ["--resume_from_checkpoint", "latest"])
+    p_straight, _ = C.load_unet(str(out / "checkpoint-4" / "unet"))
+    p_resumed, _ = C.load_unet(str(out2 / "checkpoint-4" / "unet"))
+    import jax
+
+    jax.tree_util.tree_map(np.testing.assert_array_equal,
+                           p_resumed, p_straight)
+
+
+def test_preemption_handler_sets_event_and_restores():
+    """First SIGTERM sets the stop event without killing the process;
+    restore() reinstates the previous disposition."""
+    import signal as _signal
+
+    from diffews_tpu.cli.train import _install_preemption_handler
+
+    before = _signal.getsignal(_signal.SIGTERM)
+    stop, restore = _install_preemption_handler()
+    assert not stop.is_set()
+    _signal.raise_signal(_signal.SIGTERM)
+    assert stop.is_set()  # and we are still alive
+    restore()
+    assert _signal.getsignal(_signal.SIGTERM) is before
+
+
 def test_train_cli_fsdp_end_to_end(workdir, tmp_path):
     """--fsdp (ZeRO state sharding over "data") through the real train CLI:
     step runs, checkpoint save gathers the sharded state, and resume
