@@ -306,6 +306,11 @@ def main(argv=None):
 
         base_c = jax.tree_util.tree_map(
             lambda x: x.astype(tcfg.compute_dtype), bundle.unet_params)
+        # f32 base stays on HOST for checkpoint merges: the written unet/
+        # must carry f32 weights like a full-FT checkpoint (merging from
+        # the compute-dtype base_c would silently round every weight to
+        # bf16 in an artifact documented as reference-compatible)
+        base_host = jax.device_get(bundle.unet_params)
         lora0 = lora_lib.init_lora(
             jax.random.PRNGKey(args.seed or 0), bundle.unet_params,
             args.lora_rank, lora_lib.target_filter(args.lora_targets))
@@ -517,11 +522,15 @@ def main(argv=None):
         if args.lora_rank > 0:
             from diffews_tpu.training import lora as lora_lib
 
-            kw["params_override"] = merged_unet_params(state)
+            # merge on HOST from the f32 base (numpy trees through the same
+            # merge_lora math): full-precision artifact, no HBM spike
+            scale = lora_lib.lora_scale(tcfg)
+            kw["params_override"] = lora_lib.merge_lora(
+                base_host, jax.device_get(state.params), scale)
             kw["extra_aux"] = {"lora": state.params}
             if state.ema is not None:
                 kw["ema_override"] = lora_lib.merge_lora(
-                    base_c, state.ema.params, lora_lib.lora_scale(tcfg))
+                    base_host, jax.device_get(state.ema.params), scale)
                 kw["extra_aux"]["lora_ema"] = state.ema.params
         return tck.save_checkpoint(
             args.output_dir, step, state, bundle.unet_cfg,

@@ -159,10 +159,23 @@ class EpisodeLoader:
         # submitted to a pool and resolved in order at collate time.
         q: queue.Queue = queue.Queue(maxsize=2)
         _SENTINEL = object()
+        cancel = threading.Event()  # consumer abandoned mid-epoch
         defer = getattr(self.dataset, "defer_finalize", None) is not None
         pool = ThreadPoolExecutor(self.num_workers) if defer else None
         if defer:
             self.dataset.defer_finalize = True
+
+        def _put(item) -> bool:
+            """Bounded put that gives up when the consumer abandons the
+            iteration (a plain q.put would block forever on the full queue
+            and leak this thread + its buffered batches per abandonment)."""
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.05)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             err: Optional[BaseException] = None
@@ -170,13 +183,16 @@ class EpisodeLoader:
                 for batch_idx in self._epoch_batches():
                     eps = self._sample_batch(batch_idx)  # RNG, in order
                     if pool is not None:
-                        q.put([pool.submit(_resolve, ep) for ep in eps])
+                        ok = _put([pool.submit(_resolve, ep) for ep in eps])
                     else:
-                        q.put([_resolve(ep) for ep in eps])
+                        ok = _put([_resolve(ep) for ep in eps])
+                    if not ok:
+                        return
             except BaseException as e:  # surfaced to the consumer
                 err = e
             finally:
-                q.put((_SENTINEL, err))
+                if not cancel.is_set():
+                    _put((_SENTINEL, err))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -191,6 +207,13 @@ class EpisodeLoader:
                     item = [f.result() for f in item]
                 yield collate(item)
         finally:
+            cancel.set()
+            try:  # unblock/flush a producer stuck on the full queue
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)
             if defer:
                 self.dataset.defer_finalize = False
             if pool is not None:

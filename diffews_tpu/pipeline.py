@@ -122,7 +122,9 @@ class DiffewsPipeline:
         Throughput cost is the lost cross-chunk overlap.  0 (default) =
         AUTO: one flat batch up to 48 encoded images (the chip saturates
         by ~24, and 44 images — 5-shot b4 — compiles fine), else the
-        smallest divisor of the image count that brings a chunk to <=48.
+        smallest chunk count that brings a chunk to <=48 images (counts
+        that don't divide evenly are zero-padded and the pad latents
+        sliced off — bit-identical for the real images).
 
         vae_impl: resnet implementation for the VAE ("xla" | "fused" |
         "mixed" | "auto" | "int8").  Default "xla" keeps eval numerics
@@ -343,14 +345,22 @@ class DiffewsPipeline:
         nimg = all_imgs.shape[0]
         chunks = self.encode_chunks
         if chunks == 0:  # auto (see __init__ docstring)
-            chunks = 1
-            while nimg // chunks > 48 or nimg % chunks:
-                chunks += 1
-        if chunks > 1 and nimg % chunks == 0:
-            chunked = all_imgs.reshape(
-                (chunks, nimg // chunks) + all_imgs.shape[1:])
+            chunks = -(-nimg // 48)  # smallest count with <=48 imgs/chunk
+        if chunks > 1:
+            # Non-dividing counts pad with zero images and slice the pad
+            # latents off (images are independent through the VAE, so the
+            # real latents are bit-identical) — without this, a prime image
+            # count would degrade to per-image lax.map encodes (~2.5x the
+            # batched per-image cost, PERF.md).
+            per = -(-nimg // chunks)
+            pad = chunks * per - nimg
+            padded = (jnp.concatenate(
+                [all_imgs,
+                 jnp.zeros((pad,) + all_imgs.shape[1:], all_imgs.dtype)])
+                if pad else all_imgs)
+            chunked = padded.reshape((chunks, per) + all_imgs.shape[1:])
             lat = jax.lax.map(enc, chunked)
-            return lat.reshape((nimg,) + lat.shape[2:])
+            return lat.reshape((chunks * per,) + lat.shape[2:])[:nimg]
         return enc(all_imgs)
 
     def _x0_latent(
@@ -409,11 +419,21 @@ class DiffewsPipeline:
             latent, x0 = self.scheduler.step(v, int(t), latent)
         return x0
 
+    def _decode_resnet_impl(self) -> str:
+        """Resnet impl for the DECODER.  Forced "fused"/"mixed" apply to the
+        whole VAE (a fixed-choice flag must not silently split impls);
+        "auto"'s measured heuristic is encode-only by design — the fused
+        decode loses at every batch size (b1 68 vs 52, b8 176 vs 145 ms,
+        tools/tpu_fused_resnet_bench.py) — and "int8" quantization lives in
+        the param tree, so both decode through XLA."""
+        return self.vae_impl if self.vae_impl in ("fused", "mixed") else "xla"
+
     def _decode_seg(self, vae_params, x0) -> jax.Array:
         """VAE decode + seg postprocess (pipeline `:784-802,887-905`):
         clip(-1,1) -> [0,255] uint8 (the uint8 round-trip the reference
         pays through PIL, kept for bit parity with `main_oss.py:128-137`)."""
-        img = vae.decode(vae_params, self.vae_cfg, x0, attn_impl=self.attn_impl)
+        img = vae.decode(vae_params, self.vae_cfg, x0, attn_impl=self.attn_impl,
+                         resnet_impl=self._decode_resnet_impl())
         img = jnp.clip(img.astype(jnp.float32), -1.0, 1.0)
         img = (img * 0.5 + 0.5) * 255.0
         return jnp.clip(img, 0.0, 255.0).astype(jnp.uint8)
@@ -488,7 +508,8 @@ class DiffewsPipeline:
         x0 = self._x0_latent(unet_params, vae_params, query, supports, masks,
                              text_embed, shot_mask, denoising_steps,
                              shot_axis)
-        img = vae.decode(vae_params, self.vae_cfg, x0, attn_impl=self.attn_impl)
+        img = vae.decode(vae_params, self.vae_cfg, x0, attn_impl=self.attn_impl,
+                         resnet_impl=self._decode_resnet_impl())
         depth = img.astype(jnp.float32).mean(axis=-1)  # (B, H, W)
         depth = jnp.clip(depth, -1.0, 1.0)
         return depth * 0.5 + 0.5

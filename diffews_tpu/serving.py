@@ -75,7 +75,7 @@ def export_predict(pipe, *, bsz: int, nshot: int,
     try:
         exp = jexport.export(fn)(*specs)
     except ValueError as e:
-        if "custom_call" not in str(e) or "tpu_custom_call" not in str(e):
+        if "tpu_custom_call" not in str(e):
             raise
         # Mosaic kernels serialize as tpu_custom_call; allow it explicitly
         # if this jax version keeps it off the default-stable list.

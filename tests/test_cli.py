@@ -351,6 +351,36 @@ def test_train_cli_lora_end_to_end(workdir, tmp_path):
     assert (out / "checkpoint-3" / "unet").is_dir()
 
 
+def test_train_cli_lora_bf16_writes_f32_checkpoint(workdir, tmp_path):
+    """Under bf16 training, the LoRA-merged unet/ must still carry f32
+    weights like a full-FT checkpoint (the merge happens on the host f32
+    base, not the compute-dtype base) — a silent bf16 round in an artifact
+    documented as reference-compatible would be a precision downgrade."""
+    from diffews_tpu.cli.train import main
+
+    out = tmp_path / "run_lora_bf16"
+    main([
+        "--pretrained_model_name_or_path", str(workdir / "ckpt"),
+        "--datapath", str(workdir / "data"),
+        "--benchmark", "coco", "--fold", "0", "--nshot", "2",
+        "--resolution", "32", "--train_batch_size", "2",
+        "--num_data_shards", "2", "--gradient_accumulation_steps", "2",
+        "--checkpointing_steps", "1", "--logging_steps", "1",
+        "--output_dir", str(out), "--mixed_precision", "bf16", "--no_remat",
+        "--seed", "0", "--lora_rank", "2", "--max_train_steps", "1",
+    ])
+    p, _ = C.load_unet(str(out / "checkpoint-1" / "unet"))
+    leaves = jax.tree_util.tree_leaves(p)
+    assert all(np.asarray(x).dtype == np.float32 for x in leaves)
+    # and the adapted sites actually moved (non-zero delta was merged)
+    base, _ = C.load_unet(str(workdir / "ckpt" / "unet"))
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a, np.float32)
+                                  - np.asarray(b, np.float32)).max()),
+        p, base)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0.0
+
+
 def test_batched_eval_reproduces_bsz1_metrics(workdir):
     """--bsz N draws the identical seeded episode stream (sequential
     __getitem__ order) and per-episode thresholds, so the mIoU must match

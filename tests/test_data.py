@@ -277,6 +277,33 @@ class TestLoader:
             for _ in EpisodeLoader(ds, 1, num_workers=2):
                 pass
 
+    def test_abandoned_iteration_reaps_producer(self, tmp_path):
+        """Breaking out of a threaded iteration mid-epoch (a blessed
+        pattern — eval --max_episodes, validation taking the first N) must
+        terminate the producer thread; it used to block forever in q.put
+        on the bounded queue, leaking a thread plus its buffered batches
+        per abandonment."""
+        import threading
+        import time
+
+        syn.make_coco(str(tmp_path))
+        FSSDataset.initialize(32, str(tmp_path))
+        ds = FSSDataset.build_dataset("coco", fold=0, split="test", shot=1)
+        before = set(threading.enumerate())
+        np.random.seed(0)
+        it = iter(EpisodeLoader(ds, 1, num_workers=2))
+        next(it)
+        it.close()  # abandon: runs the generator's finally
+        deadline = time.time() + 10.0
+        while True:
+            leaked = [t for t in set(threading.enumerate()) - before
+                      if t.is_alive()]
+            if not leaked or time.time() > deadline:
+                break
+            time.sleep(0.05)
+        assert not leaked, f"leaked threads: {leaked}"
+        assert ds.defer_finalize is False  # restored despite abandonment
+
 
 class TestPartBenchmarks:
     def test_paco_part_episode(self, tmp_path):

@@ -89,15 +89,14 @@ class TestSegPredict:
         auto.encode_chunks = 0
 
         def pick(nimg):
-            chunks = 1
-            while nimg // chunks > 48 or nimg % chunks:
-                chunks += 1
-            return chunks
+            return -(-nimg // 48)  # smallest count with <=48 imgs/chunk
 
         assert pick(24) == 1      # 1-shot b8 stays one flat batch
         assert pick(44) == 1      # 5-shot b4
         assert pick(88) == 2      # 5-shot b8 -> 2x44
         assert pick(264) == 6     # 5-shot b24 -> 6x44
+        assert pick(53) == 2      # prime counts pad (2x27) instead of
+        #                           degrading to 53 per-image encodes
         # numerics equal to the flat path on a tiny episode
         import jax as _jax
         auto._predict_jit = _jax.jit(
@@ -106,6 +105,37 @@ class TestSegPredict:
         a = auto.predict(q, sup, msk, r_threshold=0.25)
         b = pipe.predict(q, sup, msk, r_threshold=0.25)
         np.testing.assert_array_equal(a.seg_colored, b.seg_colored)
+
+    def test_encode_chunks_non_dividing_pads(self, pipe):
+        """A chunk count that doesn't divide the image count zero-pads and
+        slices — real-image latents stay bit-identical to the flat batch
+        (6 images at encode_chunks=4 -> 4 chunks of 2 with 2 pad images)."""
+        from diffews_tpu.pipeline import DiffewsPipeline
+
+        q, sup, msk = _episode(b=2, n=1)
+        chunked = DiffewsPipeline.__new__(DiffewsPipeline)
+        chunked.__dict__.update(pipe.__dict__)
+        chunked.encode_chunks = 4
+        import jax as _jax
+        chunked._predict_jit = _jax.jit(
+            chunked._predict_impl, static_argnames=("denoising_steps",))
+        a = chunked.predict(q, sup, msk, r_threshold=0.25)
+        b = pipe.predict(q, sup, msk, r_threshold=0.25)
+        np.testing.assert_array_equal(a.seg_colored, b.seg_colored)
+
+    def test_decode_resnet_impl_follows_vae_impl(self, pipe):
+        """Forced "fused"/"mixed" apply to the DECODER too (a fixed-choice
+        flag must not silently split impls); "auto"'s heuristic is
+        encode-only by measurement and "int8" lives in the param tree, so
+        both decode through XLA."""
+        from diffews_tpu.pipeline import DiffewsPipeline
+
+        p = DiffewsPipeline.__new__(DiffewsPipeline)
+        for vae_impl, want in [("fused", "fused"), ("mixed", "mixed"),
+                               ("auto", "xla"), ("xla", "xla"),
+                               ("int8", "xla")]:
+            p.vae_impl = vae_impl
+            assert p._decode_resnet_impl() == want, vae_impl
 
     def test_multi_step_equals_single_step(self, pipe):
         """Degenerate scheduler: extra denoise steps are no-ops end-to-end
