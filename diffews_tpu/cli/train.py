@@ -108,6 +108,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "`train_icl_*_v3.py:306-314`); wandb degrades to a "
                         "warning when the package is not installed")
     p.add_argument("--logging_steps", type=int, default=50)
+    p.add_argument("--profile_step", type=int, default=0,
+                   help="capture a device profiler trace starting at this "
+                        "optimizer step (0 = off); view with tensorboard/"
+                        "xprof on {output_dir}/profile")
+    p.add_argument("--profile_num_steps", type=int, default=3,
+                   help="steps to include in the --profile_step trace")
     # periodic validation (counterpart of log_validation + eval_results.txt,
     # `train_icl_*_v3.py:173-326,1436-1441` — enabled here, unlike the
     # reference where it is mostly commented out)
@@ -543,7 +549,14 @@ def main(argv=None):
     preempt, restore_signals = _install_preemption_handler()
     t0 = time.time()
     losses = []
+    profiling_active = False
     while global_step < args.max_train_steps:
+        if is_main and args.profile_step and global_step + 1 == args.profile_step:
+            # steps [profile_step, profile_step + profile_num_steps) land in
+            # the trace (works through the axon tunnel — the device plane
+            # captures per-op times, tools/tpu_profile_episode.py)
+            jax.profiler.start_trace(os.path.join(args.output_dir, "profile"))
+            profiling_active = True
         micro = []
         for j in range(args.gradient_accumulation_steps):
             mi = global_step * args.gradient_accumulation_steps + j
@@ -569,6 +582,15 @@ def main(argv=None):
             state, metrics = step_fn(state, batch, sub, vae_p, text_e)
         global_step += 1
 
+        if profiling_active and \
+                global_step >= args.profile_step + args.profile_num_steps - 1:
+            float(metrics["loss"])  # honest sync: host read, not
+            #                         block_until_ready (CLAUDE.md tunnel note)
+            jax.profiler.stop_trace()
+            profiling_active = False
+            print(f"profiler trace through step {global_step} written to "
+                  f"{args.output_dir}/profile")
+
         if (global_step % args.logging_steps == 0 or global_step == 1) and is_main:
             loss = float(metrics["loss"])
             losses.append(loss)
@@ -576,6 +598,14 @@ def main(argv=None):
             print(f"step {global_step}/{args.max_train_steps} "
                   f"loss {loss:.5f} ({rate:.2f} opt-steps/s)")
             log_scalar("train_loss", loss, global_step)
+            nf = int(metrics.get("total_notfinite", 0))
+            if nf:
+                # containment (optax.apply_if_finite) is silent by design;
+                # make the skipped steps visible so a diverging run is
+                # diagnosed from the log, not discovered at eval time
+                print(f"  [containment] {nf} nonfinite step(s) skipped so "
+                      f"far ({int(metrics['notfinite_count'])} consecutive)")
+                log_scalar("nonfinite_steps", nf, global_step)
 
         if args.validation_steps and global_step % args.validation_steps == 0 \
                 and is_main:
@@ -591,6 +621,8 @@ def main(argv=None):
             break
 
     restore_signals()
+    if profiling_active:  # loop ended inside the profiled window
+        jax.profiler.stop_trace()
     if is_main:
         tck.wait_for_pending_saves()
         final_dir = os.path.join(args.output_dir, f"checkpoint-{global_step}")

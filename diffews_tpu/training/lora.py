@@ -144,6 +144,10 @@ def make_lora_train_step(cfg: state_lib.TrainerConfig, unet_cfg: UNetConfig,
         gnorm = optax.global_norm(grads)
         new_state = state_lib.TrainState(params, opt_state, ema,
                                          state.step + 1)
-        return new_state, {"loss": loss, "grad_norm": gnorm}
+        metrics = {"loss": loss, "grad_norm": gnorm}
+        if cfg.max_nonfinite_steps > 0:  # see make_train_step
+            metrics["notfinite_count"] = opt_state.notfinite_count
+            metrics["total_notfinite"] = opt_state.total_notfinite
+        return new_state, metrics
 
     return step_fn

@@ -253,6 +253,14 @@ def make_train_step(
         )
         gnorm = optax.global_norm(grads)
         new_state = TrainState(params, opt_state, ema, state.step + 1)
-        return new_state, {"loss": loss, "grad_norm": gnorm}
+        metrics = {"loss": loss, "grad_norm": gnorm}
+        if cfg.max_nonfinite_steps > 0:
+            # failure-detection observability: apply_if_finite's counters
+            # (its state wraps the whole chain) say whether this run has
+            # been silently skipping nonfinite steps — surfaced by the CLI
+            # log so containment is visible, not just bounded
+            metrics["notfinite_count"] = opt_state.notfinite_count
+            metrics["total_notfinite"] = opt_state.total_notfinite
+        return new_state, metrics
 
     return step_fn

@@ -196,9 +196,13 @@ def test_train_cli_end_to_end(workdir, tmp_path):
     ]
     main(common + ["--max_train_steps", "4", "--validation_steps", "2",
                    "--validation_episodes", "2",
-                   "--validation_image_grids", "1"])
+                   "--validation_image_grids", "1",
+                   "--profile_step", "2", "--profile_num_steps", "1"])
     assert (out / "checkpoint-2" / "unet").is_dir()
     assert (out / "checkpoint-4" / "unet").is_dir()
+    # --profile_step captured a profiler trace (numerics-neutral: the
+    # resumed leg below runs unprofiled and must still match bitwise)
+    assert any((out / "profile").rglob("*.xplane.pb"))
     # periodic validation wrote its episode strip grid + metric line
     assert (out / "validation" / "step-2_ep-0.jpg").is_file()
     assert "val mIoU" in (out / "eval_results.txt").read_text()

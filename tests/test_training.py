@@ -81,6 +81,34 @@ class TestTrainStep:
         # support stream trained too (no ref*0 hack needed)
         assert float(m1["grad_norm"]) > 0
 
+    def test_nonfinite_step_contained_and_counted(self, setup):
+        """A NaN batch must not poison params (optax.apply_if_finite skips
+        the update) and the skip must be VISIBLE in the step metrics
+        (notfinite_count/total_notfinite) — containment that is silent in
+        the log is indistinguishable from healthy training."""
+        ucfg, vcfg, up, vp, text = setup
+        cfg = TrainerConfig(max_train_steps=10, gradient_accumulation_steps=1,
+                            compute_dtype=jnp.float32, remat=False)
+        state = init_state(cfg, up)
+        step = jax.jit(make_train_step(cfg, ucfg, vcfg))
+        bad = _batch(gas=1)
+        bad["query"] = bad["query"] + np.nan
+        p0 = np.asarray(state.params["conv_in"]["kernel"]).copy()
+        state, m = step(state, bad, jax.random.PRNGKey(0), vp, text)
+        assert not np.isfinite(float(m["loss"]))
+        assert int(m["total_notfinite"]) == 1
+        assert int(m["notfinite_count"]) == 1
+        np.testing.assert_array_equal(
+            np.asarray(state.params["conv_in"]["kernel"]), p0)
+        # a healthy step afterwards resets the consecutive counter and moves
+        state, m = step(state, _batch(gas=1, seed=3), jax.random.PRNGKey(1),
+                        vp, text)
+        assert np.isfinite(float(m["loss"]))
+        assert int(m["notfinite_count"]) == 0
+        assert int(m["total_notfinite"]) == 1
+        assert not np.allclose(
+            np.asarray(state.params["conv_in"]["kernel"]), p0)
+
     def test_uint8_batch_matches_float_batch(self, setup):
         """Raw uint8 images + binary masks (in-graph normalization) must
         reproduce the host-normalized float batch.  Same f32 arithmetic,
