@@ -119,12 +119,13 @@ class DiffewsPipeline:
         roughly encode_chunks-fold on the encode section, which cuts the
         remote-compile cost of very large episode graphs (5-shot b8 = 88
         encoded images crashes the compile helper as one flat batch).
-        Throughput cost is the lost cross-chunk overlap.  0 (default) =
-        AUTO: one flat batch up to 48 encoded images (the chip saturates
-        by ~24, and 44 images — 5-shot b4 — compiles fine), else the
-        smallest chunk count that brings a chunk to <=48 images (counts
-        that don't divide evenly are zero-padded and the pad latents
-        sliced off — bit-identical for the real images).
+        0 (default) = AUTO: one flat batch up to 48 encoded images (the
+        chip saturates by ~24, 44 images — 5-shot b4 — compiles fine and
+        flat beats 2x22 there), else chunks of <=24 images (measured:
+        4x22 runs 2.2x the 2x44 split at 5-shot b8 and makes b8 the best
+        5-shot operating point — tools/tpu_5shot_sweep.py).  Counts that
+        don't divide evenly are zero-padded and the pad latents sliced
+        off — bit-identical for the real images.
 
         vae_impl: resnet implementation for the VAE ("xla" | "fused" |
         "mixed" | "auto" | "int8").  Default "xla" keeps eval numerics
@@ -345,7 +346,14 @@ class DiffewsPipeline:
         nimg = all_imgs.shape[0]
         chunks = self.encode_chunks
         if chunks == 0:  # auto (see __init__ docstring)
-            chunks = -(-nimg // 48)  # smallest count with <=48 imgs/chunk
+            # flat up to 48 images; past that, chunks of <=24.  Measured
+            # same-session on 1x v5e (tools/tpu_5shot_sweep.py, device-only
+            # timing): 5-shot b8 (88 imgs) runs 3.92 q/s at 4x22 vs 1.81 at
+            # 2x44 and 2.72 at 8x11 — mid-sized lax.map chunks at the ~24-
+            # image saturation point beat both the huge-chunk split and
+            # under-saturated small chunks; flat 44 at b4 (3.81) still
+            # beats 2x22 (3.19), so chunking only starts past 48.
+            chunks = 1 if nimg <= 48 else -(-nimg // 24)
         if chunks > 1:
             # Non-dividing counts pad with zero images and slice the pad
             # latents off (images are independent through the VAE, so the

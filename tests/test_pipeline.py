@@ -88,14 +88,14 @@ class TestSegPredict:
         auto.__dict__.update(pipe.__dict__)
         auto.encode_chunks = 0
 
-        def pick(nimg):
-            return -(-nimg // 48)  # smallest count with <=48 imgs/chunk
+        def pick(nimg):  # flat <=48, else <=24-image chunks (measured)
+            return 1 if nimg <= 48 else -(-nimg // 24)
 
         assert pick(24) == 1      # 1-shot b8 stays one flat batch
-        assert pick(44) == 1      # 5-shot b4
-        assert pick(88) == 2      # 5-shot b8 -> 2x44
-        assert pick(264) == 6     # 5-shot b24 -> 6x44
-        assert pick(53) == 2      # prime counts pad (2x27) instead of
+        assert pick(44) == 1      # 5-shot b4 (flat 44 beats 2x22)
+        assert pick(88) == 4      # 5-shot b8 -> 4x22 (2.2x over 2x44)
+        assert pick(264) == 11    # 5-shot b24 -> 11x24
+        assert pick(53) == 3      # prime counts pad (3x18) instead of
         #                           degrading to 53 per-image encodes
         # numerics equal to the flat path on a tiny episode
         import jax as _jax
