@@ -1,0 +1,220 @@
+"""Benchmark-tree preparation from raw dataset downloads.
+
+The reference has no data-preparation code at all: its README delegates to
+an external repo ("Preparing the dataset following Matcher ... You only need
+to download the COCO 2014 dataset", `README.md:59-61`), whose users download
+pre-rendered COCO-20i mask PNGs and fold metadata pickles.  This CLI builds
+the same tree self-contained from a raw COCO 2014 download, using the
+repo's own pycocotools-parity mask codec (`diffews_tpu/data/masks.py`,
+native C++ when available) to rasterize polygon/RLE annotations:
+
+    python -m diffews_tpu.cli.prepare coco \
+        --coco_root /data/coco2014 --out /data/FSSBench/COCO2014
+
+Input layout (the standard COCO 2014 download):
+    {coco_root}/train2014/COCO_train2014_*.jpg
+    {coco_root}/val2014/COCO_val2014_*.jpg
+    {coco_root}/annotations/instances_train2014.json
+    {coco_root}/annotations/instances_val2014.json
+
+Output layout (what `data/coco.py` / the reference's
+`evaluation_util/data/coco.py:74-87` read):
+    {out}/train2014/, {out}/val2014/          symlinked image dirs
+    {out}/annotations/{split}/<img>.png       uint8, pixel = class_id + 1
+    {out}/splits/{trn,val}/fold{0..3}.pkl     {class_id: [img names]}
+
+Conventions (documented because the canonical artifact is distributed, not
+generated, and its generator is not public — episode-level parity with a
+downloaded tree therefore depends on matching these choices):
+  - class_id is the CONTIGUOUS index of the sorted COCO category ids
+    (0..79), the standard COCO-20i convention; mask pixel = class_id + 1.
+  - annotations paint in JSON order, later instances overwriting earlier
+    ones where they overlap; crowd (iscrowd=1) annotations are skipped by
+    default (`--include_crowd` paints them too).
+  - a class counts as present in an image if the FINAL rendered mask
+    (i.e. after overlap overwrites) has >= --min_pixels of it.
+  - trn/fold{f}.pkl keys are the fold's 60 training classes and, by
+    default, exclude images that also contain any of the fold's 20
+    validation classes (the episodic-FSS anti-leakage rule;
+    `--keep_val_class_images` disables).  val/fold{f}.pkl keys are the
+    fold's 20 validation classes over val2014 images.
+  - image lists are sorted (the seeded episode protocol indexes into them,
+    so list ORDER affects which episodes seed 0 visits).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing
+import os
+import pickle
+import sys
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from diffews_tpu.data import masks as mask_codec
+
+# (split dir, instances json, pkl split name) per COCO 2014 half
+_COCO_SPLITS = (("train2014", "instances_train2014.json", "trn"),
+                ("val2014", "instances_val2014.json", "val"))
+_NFOLDS = 4
+_NCLASS = 80
+
+
+def contiguous_class_index(categories: Sequence[Dict]) -> Dict[int, int]:
+    """Sorted COCO category ids -> contiguous 0..79 class ids."""
+    cat_ids = sorted(c["id"] for c in categories)
+    return {cid: i for i, cid in enumerate(cat_ids)}
+
+
+def render_class_mask(height: int, width: int,
+                      anns: Sequence[Tuple[int, object]]) -> np.ndarray:
+    """Paint (class_id, segmentation) annotations into a uint8 class map.
+
+    Pixel value = class_id + 1; later annotations overwrite earlier ones
+    (JSON order), mirroring how the distributed COCO-20i PNGs resolve
+    instance overlap.
+    """
+    out = np.zeros((height, width), np.uint8)
+    for class_id, segm in anns:
+        m = mask_codec.segmentation_to_mask(segm, height, width)
+        out[m.astype(bool)] = class_id + 1
+    return out
+
+
+def _render_one(job) -> Tuple[str, List[int]]:
+    """Worker: render + save one image's PNG; return classes present."""
+    png_path, height, width, anns, min_pixels = job
+    mask = render_class_mask(height, width, anns)
+    os.makedirs(os.path.dirname(png_path), exist_ok=True)
+    Image.fromarray(mask).save(png_path)
+    present = [int(v) - 1 for v, n in
+               zip(*np.unique(mask, return_counts=True))
+               if v != 0 and n >= min_pixels]
+    return png_path, present
+
+
+def _val_ids(fold: int) -> List[int]:
+    return [fold + _NFOLDS * v for v in range(_NCLASS // _NFOLDS)]
+
+
+def prepare_coco(coco_root: str, out: str, workers: int = 0,
+                 include_crowd: bool = False, min_pixels: int = 1,
+                 keep_val_class_images: bool = False,
+                 link_images: bool = True,
+                 log=print) -> Dict[str, Dict[str, List[str]]]:
+    """Build the COCO-20i tree; returns {split: {img_name: [class ids]}}."""
+    presence_by_split = {}
+    for split_dir, ann_json, pkl_split in _COCO_SPLITS:
+        json_path = os.path.join(coco_root, "annotations", ann_json)
+        with open(json_path) as f:
+            coco = json.load(f)
+        cat_to_idx = contiguous_class_index(coco["categories"])
+        imgs = {im["id"]: im for im in coco["images"]}
+        per_image: Dict[int, List[Tuple[int, object]]] = {}
+        for ann in coco["annotations"]:  # JSON order = paint order
+            if ann.get("iscrowd", 0) and not include_crowd:
+                continue
+            per_image.setdefault(ann["image_id"], []).append(
+                (cat_to_idx[ann["category_id"]], ann["segmentation"]))
+
+        jobs = []
+        names = {}
+        for img_id, anns in per_image.items():
+            im = imgs[img_id]
+            name = f"{split_dir}/{im['file_name']}"
+            png = os.path.join(out, "annotations",
+                               os.path.splitext(name)[0] + ".png")
+            names[png] = name
+            jobs.append((png, im["height"], im["width"], anns, min_pixels))
+
+        log(f"{split_dir}: rendering {len(jobs)} masks "
+            f"({len(imgs) - len(jobs)} images have no usable annotations)")
+        if workers > 0:
+            with multiprocessing.get_context("spawn").Pool(workers) as pool:
+                results = pool.map(_render_one, jobs, chunksize=64)
+        else:
+            results = [_render_one(j) for j in jobs]
+        presence = {names[png]: classes for png, classes in results}
+        presence_by_split[split_dir] = presence
+
+        if link_images:
+            src = os.path.realpath(os.path.join(coco_root, split_dir))
+            dst = os.path.join(out, split_dir)
+            if not os.path.exists(dst):
+                os.makedirs(out, exist_ok=True)
+                os.symlink(src, dst)
+
+        # fold metadata: class id -> sorted image-name list
+        pkl_dir = os.path.join(out, "splits", pkl_split)
+        os.makedirs(pkl_dir, exist_ok=True)
+        for fold in range(_NFOLDS):
+            val_ids = set(_val_ids(fold))
+            if pkl_split == "val":
+                fold_classes = sorted(val_ids)
+                keep = lambda cs: True  # noqa: E731
+            else:
+                fold_classes = [c for c in range(_NCLASS) if c not in val_ids]
+                if keep_val_class_images:
+                    keep = lambda cs: True  # noqa: E731
+                else:
+                    keep = lambda cs: not (set(cs) & val_ids)  # noqa: E731
+            # every fold class keeps a key (possibly empty on toy inputs)
+            # so the loader's classwise lookup never KeyErrors
+            meta = {c: sorted(n for n, cs in presence.items()
+                              if c in cs and keep(cs))
+                    for c in fold_classes}
+            with open(os.path.join(pkl_dir, f"fold{fold}.pkl"), "wb") as f:
+                pickle.dump(meta, f)
+            log(f"  {pkl_split}/fold{fold}.pkl: "
+                f"{sum(len(v) for v in meta.values())} (class, image) pairs "
+                f"over {len(meta)} classes")
+    return presence_by_split
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        "DiffewS-TPU benchmark preparation",
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="benchmark", required=True)
+    c = sub.add_parser("coco", help="COCO-20i from a raw COCO 2014 download")
+    c.add_argument("--coco_root", required=True,
+                   help="dir with train2014/ val2014/ annotations/*.json")
+    c.add_argument("--out", required=True,
+                   help="output benchmark dir (point --datapath at its "
+                        "parent; name it COCO2014)")
+    c.add_argument("--workers", type=int,
+                   default=max(1, (os.cpu_count() or 2) // 2),
+                   help="mask-rendering processes (0 = in-process)")
+    c.add_argument("--include_crowd", action="store_true",
+                   help="paint iscrowd=1 annotations too (default: skip)")
+    c.add_argument("--min_pixels", type=int, default=1,
+                   help="min pixels of a class in the final mask for the "
+                        "image to list under that class")
+    c.add_argument("--keep_val_class_images", action="store_true",
+                   help="keep training images that contain the fold's "
+                        "validation classes (default: exclude — the "
+                        "episodic-FSS anti-leakage rule)")
+    c.add_argument("--no_link_images", action="store_true",
+                   help="do not symlink the image dirs into --out")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.benchmark == "coco":
+        prepare_coco(args.coco_root, args.out, workers=args.workers,
+                     include_crowd=args.include_crowd,
+                     min_pixels=args.min_pixels,
+                     keep_val_class_images=args.keep_val_class_images,
+                     link_images=not args.no_link_images)
+        print(f"COCO-20i tree ready at {args.out}")
+    else:  # pragma: no cover - argparse enforces the choice
+        sys.exit(f"unknown benchmark {args.benchmark}")
+
+
+if __name__ == "__main__":
+    main()
