@@ -1,0 +1,395 @@
+"""Production serving daemon: an HTTP API over the DiffewS pipeline.
+
+The reference has no serving story — its only entry points are the eval and
+train harnesses (`evaluation_util/main_oss.py`, `train_tools/...v3.py`), and
+its KV "bank" is recomputed inside every `__call__`.  This daemon exposes
+the pipeline over HTTP with the repeated-support cache as the primary
+serving pattern (one annotated support set answering many queries — 1.68x
+the full-episode rate at 1-shot, 2.27x at 5-shot; PERF.md):
+
+    python -m diffews_tpu.cli.serve --checkpoint <dir> --port 8710
+
+Endpoints (JSON bodies; images are base64-encoded PNG/JPEG):
+    GET  /healthz
+        -> {"ok", "platform", "caches", "model"}
+    POST /v1/supports      {"images": [b64, ...], "masks": [b64, ...]}
+        -> {"cache_id", "n_shots"}          (precomputes the support K/V)
+    DELETE /v1/supports/<cache_id>
+    POST /v1/segment       {"query": b64 | [b64, ...],
+                            "cache_id": id           # cached supports, OR
+                            "supports": [...], "masks": [...],  # one-off
+                            "r_threshold": 0.25}     # optional overrides
+        -> {"masks": [b64 gray PNG 0/255, ...]}  at each query's original
+           size (+ "seg": [b64 RGB PNG] when "return_seg" is true)
+
+Shape discipline (everything under jit is traced once): queries pad to the
+configured --bsz and results slice back; one-off episode supports pad to
+--nshot with a shot validity mask.  A support cache is captured at its
+request's exact shot count (one compile per distinct count, then cached).
+Device work from concurrent requests serializes on a lock; batch queries
+client-side (up to --bsz per request) for throughput.
+
+Serving-artifact mode (`--artifact <dir>` from `cli/export.py`) runs the
+AOT-exported StableHLO program instead of model code: only one-off episodes
+at the artifact's frozen (bsz, nshot) — no cache endpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+import uuid
+from collections import OrderedDict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Tuple
+
+import numpy as np
+from PIL import Image
+
+from diffews_tpu.data.transforms import ImageTransform, nearest_resize_mask
+
+
+class ServeError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+
+
+def _b64_to_pil(data: str) -> Image.Image:
+    try:
+        return Image.open(io.BytesIO(base64.b64decode(data)))
+    except Exception as e:
+        raise ServeError(400, f"undecodable image payload: {e}")
+
+
+def _png_b64(arr: np.ndarray) -> str:
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def _as_list(x) -> List:
+    return x if isinstance(x, list) else [x]
+
+
+class ModelServer:
+    """Request decoding + shape padding + device dispatch (lock-serialized).
+
+    Split from the HTTP handler so tests can drive it directly and the
+    handler stays transport-only.
+    """
+
+    def __init__(self, pipe=None, artifact=None, *, bsz: int, nshot: int,
+                 img_size: int, r_threshold: float, max_caches: int = 8,
+                 model_desc: str = ""):
+        assert (pipe is None) != (artifact is None)
+        self.pipe = pipe
+        self.artifact = artifact
+        self.bsz = bsz
+        self.nshot = nshot
+        self.img_size = img_size
+        self.r_threshold = r_threshold
+        self.model_desc = model_desc
+        self._tf = ImageTransform(img_size, raw=True)
+        self._caches: OrderedDict[str, object] = OrderedDict()
+        self._max_caches = max_caches
+        self._lock = threading.Lock()  # device dispatch + cache mutation
+
+    # -- request decoding ---------------------------------------------------
+
+    def _decode_images(self, payloads: List[str]) -> Tuple[np.ndarray, list]:
+        """b64 -> (N, S, S, 3) uint8 + original (w, h) sizes."""
+        imgs, sizes = [], []
+        for p in payloads:
+            im = _b64_to_pil(p)
+            sizes.append(im.size)
+            imgs.append(self._tf(im))  # PIL-bilinear resize, uint8 HWC
+        return np.stack(imgs), sizes
+
+    def _decode_masks(self, payloads: List[str]) -> np.ndarray:
+        """b64 -> (N, S, S) {0,1} float32 (>=128 foreground, the FSS-1000
+        rule `fss.py:77-81`; resize keeps torch-nearest index semantics)."""
+        out = []
+        for p in payloads:
+            m = np.asarray(_b64_to_pil(p).convert("L"))
+            m = (m >= 128).astype(np.float32)
+            out.append(nearest_resize_mask(m, (self.img_size, self.img_size)))
+        return np.stack(out)
+
+    # -- endpoints ----------------------------------------------------------
+
+    def healthz(self) -> dict:
+        import jax
+
+        return {"ok": True, "platform": jax.default_backend(),
+                "caches": len(self._caches), "model": self.model_desc,
+                "bsz": self.bsz, "nshot": self.nshot,
+                "mode": "artifact" if self.artifact is not None else "pipeline"}
+
+    def add_supports(self, body: dict) -> dict:
+        if self.artifact is not None:
+            raise ServeError(400, "artifact mode has no support cache "
+                                  "(the exported program is a fixed-shape "
+                                  "full episode); use /v1/segment with "
+                                  "supports+masks")
+        images = _as_list(body.get("images") or [])
+        masks = _as_list(body.get("masks") or [])
+        if not images or len(images) != len(masks):
+            raise ServeError(400, "need equal-length non-empty "
+                                  "'images' and 'masks'")
+        sup, _ = self._decode_images(images)
+        msk = self._decode_masks(masks)
+        cache_id = uuid.uuid4().hex[:12]
+        with self._lock:
+            cache = self.pipe.precompute_supports(sup[None], msk[None])
+            self._caches[cache_id] = cache
+            while len(self._caches) > self._max_caches:
+                self._caches.popitem(last=False)  # FIFO eviction
+        return {"cache_id": cache_id, "n_shots": len(images)}
+
+    def drop_supports(self, cache_id: str) -> dict:
+        with self._lock:
+            if self._caches.pop(cache_id, None) is None:
+                raise ServeError(404, f"unknown cache_id {cache_id}")
+        return {"ok": True}
+
+    def segment(self, body: dict) -> dict:
+        queries = _as_list(body.get("query") or [])
+        if not queries:
+            raise ServeError(400, "need 'query' (b64 image or list)")
+        r_thr = float(body.get("r_threshold", self.r_threshold))
+        thr = float(body.get("threshold", 0.0))
+        q, sizes = self._decode_images(queries)
+
+        cache_id = body.get("cache_id")
+        if cache_id is not None:
+            preds = self._segment_cached(q, cache_id, r_thr, thr)
+        else:
+            supports = _as_list(body.get("supports") or [])
+            masks = _as_list(body.get("masks") or [])
+            if not supports or len(supports) != len(masks):
+                raise ServeError(400, "need 'cache_id' or equal-length "
+                                      "'supports' and 'masks'")
+            sup, _ = self._decode_images(supports)
+            msk = self._decode_masks(masks)
+            preds = self._segment_episode(q, sup, msk, r_thr, thr)
+
+        resp = {"masks": []}
+        if body.get("return_seg"):
+            resp["seg"] = []
+        for i, (w, h) in enumerate(sizes):
+            m = preds.mask[i].astype(np.float32)
+            m = nearest_resize_mask(m, (h, w))  # back to the query's size
+            resp["masks"].append(_png_b64((m * 255).astype(np.uint8)))
+            if body.get("return_seg"):
+                resp["seg"].append(_png_b64(preds.seg_colored[i]))
+        return resp
+
+    # -- device work (lock-held) ---------------------------------------------
+
+    def _pad_batch(self, q: np.ndarray) -> Tuple[np.ndarray, int]:
+        n = q.shape[0]
+        if n > self.bsz:
+            raise ServeError(400, f"{n} queries > server batch {self.bsz}; "
+                                  f"split the request")
+        if n < self.bsz:
+            q = np.concatenate([q, np.repeat(q[-1:], self.bsz - n, axis=0)])
+        return q, n
+
+    def _segment_cached(self, q, cache_id, r_thr, thr):
+        if self.artifact is not None:
+            raise ServeError(400, "artifact mode has no support cache")
+        qp, n = self._pad_batch(q)
+        with self._lock:
+            cache = self._caches.get(cache_id)
+            if cache is None:
+                raise ServeError(404, f"unknown cache_id {cache_id}")
+            out = self.pipe.predict_cached(qp, cache, r_threshold=r_thr,
+                                           threshold=thr)
+        return _slice_out(out, n)
+
+    def _segment_episode(self, q, sup, msk, r_thr, thr):
+        qp, n = self._pad_batch(q)
+        ns = sup.shape[0]
+        if ns > self.nshot:
+            raise ServeError(400, f"{ns} supports > server nshot "
+                                  f"{self.nshot}")
+        shot_mask = None
+        if ns < self.nshot:  # pad + validity mask (static shapes under jit)
+            pad = np.repeat(sup[-1:], self.nshot - ns, axis=0)
+            sup = np.concatenate([sup, pad])
+            msk = np.concatenate(
+                [msk, np.repeat(msk[-1:], self.nshot - ns, axis=0)])
+            shot_mask = np.zeros((self.bsz, self.nshot), bool)
+            shot_mask[:, :ns] = True
+        supb = np.broadcast_to(sup[None], (self.bsz,) + sup.shape)
+        mskb = np.broadcast_to(msk[None], (self.bsz,) + msk.shape)
+        with self._lock:
+            if self.artifact is not None:
+                # the exported program's signature is frozen at uint8
+                # {0,1} masks (serving.export_predict specs)
+                img = self.artifact(qp, supb, mskb.astype(np.uint8),
+                                    shot_mask)
+                from diffews_tpu.pipeline import PendingSeg
+
+                out = PendingSeg(img, r_thr, thr).result()
+            else:
+                out = self.pipe.predict(qp, supb, mskb, shot_mask=shot_mask,
+                                        r_threshold=r_thr, threshold=thr)
+        return _slice_out(out, n)
+
+
+def _slice_out(out, n: int):
+    out.seg_colored = out.seg_colored[:n]
+    if out.mask is not None:
+        out.mask = out.mask[:n]
+    return out
+
+
+def make_handler(server: ModelServer):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, status: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _dispatch(self, fn, *args):
+            try:
+                self._send(200, fn(*args))
+            except ServeError as e:
+                self._send(e.status, {"error": str(e)})
+            except Exception as e:  # surface, don't kill the thread
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length") or 0)
+            raw = self.rfile.read(n) if n else b"{}"
+            try:
+                return json.loads(raw or b"{}")
+            except json.JSONDecodeError as e:
+                raise ServeError(400, f"bad JSON body: {e}")
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._dispatch(server.healthz)
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            try:
+                body = self._body()
+            except ServeError as e:
+                return self._send(e.status, {"error": str(e)})
+            if self.path == "/v1/supports":
+                self._dispatch(server.add_supports, body)
+            elif self.path == "/v1/segment":
+                self._dispatch(server.segment, body)
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+
+        def do_DELETE(self):
+            prefix = "/v1/supports/"
+            if self.path.startswith(prefix):
+                self._dispatch(server.drop_supports, self.path[len(prefix):])
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+
+    return Handler
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        "DiffewS-TPU serving daemon", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--checkpoint", help="diffusers-layout checkpoint dir")
+    src.add_argument("--artifact",
+                     help="AOT serving-artifact dir from cli/export.py "
+                          "(fixed-shape episodes, no support cache)")
+    p.add_argument("--unet_ckpt_path", default=None)
+    p.add_argument("--scheduler_load_path", default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8710)
+    p.add_argument("--bsz", type=int, default=4,
+                   help="server batch: requests pad to this query count")
+    p.add_argument("--nshot", type=int, default=1,
+                   help="max supports for one-off episodes (pad + mask)")
+    p.add_argument("--img-size", dest="img_size", type=int, default=512)
+    p.add_argument("--r_threshold", type=float, default=0.25,
+                   help="default relative threshold (eval protocol value)")
+    p.add_argument("--max_caches", type=int, default=8,
+                   help="support caches kept on device (FIFO eviction)")
+    p.add_argument("--half_precision", action="store_true",
+                   help="bf16 compute (the TPU serving configuration)")
+    p.add_argument("--attn_impl", default="auto",
+                   choices=["auto", "xla", "pallas"])
+    p.add_argument("--vae_impl", default="xla",
+                   choices=["xla", "fused", "mixed", "auto", "int8"])
+    p.add_argument("--unet_int8", action="store_true")
+    p.add_argument("--platform", default="default",
+                   choices=["default", "cpu"],
+                   help="'cpu' forces the JAX CPU backend (smoke-test a "
+                        "serving config without claiming the TPU; env vars "
+                        "cannot override a sitecustomize-pinned platform, "
+                        "an in-process config update can)")
+    return p
+
+
+def make_server(args) -> ModelServer:
+    if args.artifact:
+        from diffews_tpu import serving
+
+        mod = serving.load(args.artifact)
+        return ModelServer(
+            artifact=mod, bsz=mod.manifest["bsz"],
+            nshot=mod.manifest["nshot"],
+            img_size=mod.manifest.get("img_size", args.img_size),
+            r_threshold=args.r_threshold, model_desc=args.artifact)
+    import jax.numpy as jnp
+
+    from diffews_tpu.pipeline import DiffewsPipeline
+
+    pipe = DiffewsPipeline.from_pretrained(
+        args.checkpoint, unet_dir=args.unet_ckpt_path,
+        scheduler_dir=args.scheduler_load_path,
+        compute_dtype=jnp.bfloat16 if args.half_precision else jnp.float32,
+        attn_impl=args.attn_impl, vae_impl=args.vae_impl,
+        unet_int8=args.unet_int8)
+    return ModelServer(pipe=pipe, bsz=args.bsz, nshot=args.nshot,
+                       img_size=args.img_size, r_threshold=args.r_threshold,
+                       max_caches=args.max_caches,
+                       model_desc=args.checkpoint)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    server = make_server(args)
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
+    print(f"serving on http://{args.host}:{args.port} "
+          f"({server.healthz()['mode']} mode, bsz {server.bsz}, "
+          f"nshot {server.nshot})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,240 @@
+"""Serving daemon: HTTP API over the pipeline (cli/serve.py).
+
+Spins a real ThreadingHTTPServer on a loopback port with a tiny random-init
+pipeline and drives it with urllib: health, one-off episodes (shot padding),
+support-cache lifecycle (create / segment / evict / delete), batching
+limits, error paths, and parity of the served masks with direct pipeline
+calls.
+"""
+
+import base64
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from diffews_tpu import checkpoint as C
+from diffews_tpu.cli import serve
+from diffews_tpu.configs import CLIPTextConfig, SchedulerConfig, UNetConfig, VAEConfig
+from diffews_tpu.data.transforms import ImageTransform, nearest_resize_mask
+from diffews_tpu.models import unet, vae
+from diffews_tpu.pipeline import DiffewsPipeline
+
+S = 32  # server img_size (tiny configs)
+
+
+def _b64_png(arr: np.ndarray) -> str:
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def _rgb(seed, h=40, w=48):
+    return np.random.default_rng(seed).integers(0, 255, (h, w, 3), np.uint8)
+
+
+def _mask(seed, h=40, w=48):
+    m = np.zeros((h, w), np.uint8)
+    r = np.random.default_rng(seed)
+    y, x = int(r.integers(0, h // 2)), int(r.integers(0, w // 2))
+    m[y:y + h // 2, x:x + w // 2] = 255
+    return m
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
+    bundle = C.PipelineBundle(
+        jax.jit(lambda r: unet.init_params(r, ucfg))(jax.random.PRNGKey(0)), ucfg,
+        jax.jit(lambda r: vae.init_params(r, vcfg))(jax.random.PRNGKey(1)), vcfg,
+        None, CLIPTextConfig.tiny(), SchedulerConfig.diffews(),
+    )
+    return DiffewsPipeline(bundle)
+
+
+@pytest.fixture(scope="module")
+def server(pipe):
+    ms = serve.ModelServer(pipe=pipe, bsz=2, nshot=2, img_size=S,
+                           r_threshold=0.25, max_caches=2, model_desc="tiny")
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve.make_handler(ms))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", ms
+    httpd.shutdown()
+    httpd.server_close()
+
+
+def _call(base, method, path, body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(base + path, data=data, method=method)
+    if data:
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(server):
+    base, _ = server
+    status, body = _call(base, "GET", "/healthz")
+    assert status == 200 and body["ok"] and body["mode"] == "pipeline"
+    assert body["bsz"] == 2 and body["nshot"] == 2
+
+
+def test_one_off_episode_matches_direct_pipeline(server, pipe):
+    base, _ = server
+    q, s, m = _rgb(1), _rgb(2), _mask(3)
+    status, body = _call(base, "POST", "/v1/segment", {
+        "query": _b64_png(q), "supports": [_b64_png(s)],
+        "masks": [_b64_png(m)], "return_seg": True})
+    assert status == 200, body
+    got = np.asarray(Image.open(io.BytesIO(base64.b64decode(body["masks"][0]))))
+    assert got.shape == (40, 48) and set(np.unique(got)) <= {0, 255}
+
+    # direct pipeline call with the same preprocessing = same mask
+    tf = ImageTransform(S, raw=True)
+    qb = np.stack([tf(Image.fromarray(q))] * 2)
+    sb = np.broadcast_to(
+        np.stack([tf(Image.fromarray(s))] * 2)[:, None], (2, 2, S, S, 3))
+    mm = nearest_resize_mask((m >= 128).astype(np.float32), (S, S))
+    mb = np.broadcast_to(mm[None, None], (2, 2, S, S))
+    shot_mask = np.zeros((2, 2), bool)
+    shot_mask[:, :1] = True
+    out = pipe.predict(qb, sb, mb, shot_mask=shot_mask, r_threshold=0.25)
+    want = nearest_resize_mask(out.mask[0].astype(np.float32), (40, 48))
+    np.testing.assert_array_equal(got > 0, want > 0)
+
+
+def test_cache_lifecycle_and_parity(server):
+    base, ms = server
+    s, m = _rgb(4), _mask(5)
+    status, body = _call(base, "POST", "/v1/supports",
+                         {"images": [_b64_png(s)], "masks": [_b64_png(m)]})
+    assert status == 200 and body["n_shots"] == 1
+    cid = body["cache_id"]
+
+    q1, q2 = _rgb(6), _rgb(7, h=30, w=30)
+    status, got = _call(base, "POST", "/v1/segment",
+                        {"query": [_b64_png(q1), _b64_png(q2)],
+                         "cache_id": cid})
+    assert status == 200, got
+    m1 = np.asarray(Image.open(io.BytesIO(base64.b64decode(got["masks"][0]))))
+    m2 = np.asarray(Image.open(io.BytesIO(base64.b64decode(got["masks"][1]))))
+    assert m1.shape == (40, 48) and m2.shape == (30, 30)
+
+    # cached result == one-off episode result for the same inputs
+    status, oneoff = _call(base, "POST", "/v1/segment", {
+        "query": _b64_png(q1), "supports": [_b64_png(s)],
+        "masks": [_b64_png(m)]})
+    assert status == 200
+    direct = np.asarray(Image.open(io.BytesIO(
+        base64.b64decode(oneoff["masks"][0]))))
+    # uint8-quantization boundary pixels may flip (pipeline docstring);
+    # demand near-identity
+    assert np.mean(m1 != direct) < 0.02
+
+    status, _ = _call(base, "DELETE", f"/v1/supports/{cid}")
+    assert status == 200
+    status, err = _call(base, "POST", "/v1/segment",
+                        {"query": _b64_png(q1), "cache_id": cid})
+    assert status == 404 and "unknown cache_id" in err["error"]
+
+
+def test_cache_fifo_eviction(server):
+    base, ms = server
+    ids = []
+    for i in range(3):  # max_caches=2
+        _, body = _call(base, "POST", "/v1/supports",
+                        {"images": [_b64_png(_rgb(10 + i))],
+                         "masks": [_b64_png(_mask(20 + i))]})
+        ids.append(body["cache_id"])
+    assert len(ms._caches) == 2
+    assert ids[0] not in ms._caches and ids[2] in ms._caches
+
+
+def test_error_paths(server):
+    base, _ = server
+    status, err = _call(base, "POST", "/v1/segment", {})
+    assert status == 400 and "query" in err["error"]
+    status, err = _call(base, "POST", "/v1/segment",
+                        {"query": _b64_png(_rgb(0))})
+    assert status == 400 and "cache_id" in err["error"]
+    status, err = _call(base, "POST", "/v1/segment",
+                        {"query": [_b64_png(_rgb(0))] * 3,
+                         "supports": [_b64_png(_rgb(1))],
+                         "masks": [_b64_png(_mask(2))]})
+    assert status == 400 and "split the request" in err["error"]
+    status, err = _call(base, "POST", "/v1/segment",
+                        {"query": "not-base64-png!!", "cache_id": "x"})
+    assert status == 400
+    status, err = _call(base, "GET", "/nope")
+    assert status == 404
+    # bad JSON body
+    req = urllib.request.Request(base + "/v1/segment", data=b"{oops",
+                                 method="POST")
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_concurrent_requests(server):
+    """Concurrent segments serialize on the device lock without error."""
+    base, _ = server
+    payload = {"query": _b64_png(_rgb(30)),
+               "supports": [_b64_png(_rgb(31))],
+               "masks": [_b64_png(_mask(32))]}
+    results = []
+
+    def go():
+        results.append(_call(base, "POST", "/v1/segment", payload))
+
+    threads = [threading.Thread(target=go) for _ in range(4)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert all(s == 200 for s, _ in results)
+    first = results[0][1]["masks"][0]
+    assert all(r["masks"][0] == first for _, r in results)
+
+
+def test_artifact_mode(pipe, tmp_path):
+    """The daemon serves an AOT StableHLO artifact with no model code."""
+    from diffews_tpu import serving
+
+    out_dir = serving.save_serving_artifact(
+        pipe, str(tmp_path / "art"), bsz=2, nshot=1, img_size=S)
+    mod = serving.load(out_dir)
+    ms = serve.ModelServer(artifact=mod, bsz=mod.manifest["bsz"],
+                           nshot=mod.manifest["nshot"], img_size=S,
+                           r_threshold=0.25, model_desc="artifact")
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve.make_handler(ms))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        status, body = _call(base, "GET", "/healthz")
+        assert status == 200 and body["mode"] == "artifact"
+        status, err = _call(base, "POST", "/v1/supports",
+                            {"images": [_b64_png(_rgb(1))],
+                             "masks": [_b64_png(_mask(2))]})
+        assert status == 400 and "artifact mode" in err["error"]
+        status, got = _call(base, "POST", "/v1/segment", {
+            "query": _b64_png(_rgb(3)), "supports": [_b64_png(_rgb(4))],
+            "masks": [_b64_png(_mask(5))]})
+        assert status == 200, got
+        m = np.asarray(Image.open(io.BytesIO(
+            base64.b64decode(got["masks"][0]))))
+        assert m.shape == (40, 48) and set(np.unique(m)) <= {0, 255}
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
