@@ -175,6 +175,49 @@ def prepare_coco(coco_root: str, out: str, workers: int = 0,
     return presence_by_split
 
 
+def prepare_lvis(lvis_root: str, out: str, coco_images: str = "",
+                 link_images: bool = True, log=print) -> None:
+    """Build the LVIS-92i metadata tree from a raw LVIS v1 download.
+
+    Input: `{lvis_root}/lvis_v1_train.json` + `lvis_v1_val.json` (images
+    are the COCO 2017 set).  Output (what `data/lvis.py` / the reference's
+    `evaluation_util/data/lvis.py:68-71` read):
+
+        {out}/lvis_{train,val}.pkl   {cat_id: {img_name: {"annotations":
+                                      [{"segmentation": ...}, ...]}}}
+        {out}/coco/                  symlink to the COCO 2017 image root
+                                     (train2017/ + val2017/ inside)
+
+    Image names derive from each LVIS image's `coco_url` (its last two
+    path components — LVIS val uses images from BOTH coco splits, so the
+    split dir must come from the URL, not the json name).  Annotation
+    dicts keep only the `segmentation` key (all the loader reads); the
+    loader itself drops categories with <= nshot images and interleaves
+    the 10 folds, so no fold filtering happens here.
+    """
+    for split in ("train", "val"):
+        with open(os.path.join(lvis_root, f"lvis_v1_{split}.json")) as f:
+            lvis = json.load(f)
+        name_of = {im["id"]: "/".join(im["coco_url"].split("/")[-2:])
+                   for im in lvis["images"]}
+        meta: Dict[int, Dict[str, Dict]] = {}
+        for ann in lvis["annotations"]:
+            img = name_of[ann["image_id"]]
+            entry = meta.setdefault(ann["category_id"], {}).setdefault(
+                img, {"annotations": []})
+            entry["annotations"].append(
+                {"segmentation": ann["segmentation"]})
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, f"lvis_{split}.pkl"), "wb") as f:
+            pickle.dump(meta, f)
+        log(f"lvis_{split}.pkl: {len(meta)} categories, "
+            f"{sum(len(v) for v in meta.values())} (category, image) pairs")
+    if link_images and coco_images:
+        dst = os.path.join(out, "coco")
+        if not os.path.exists(dst):
+            os.symlink(os.path.realpath(coco_images), dst)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         "DiffewS-TPU benchmark preparation",
@@ -200,6 +243,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "episodic-FSS anti-leakage rule)")
     c.add_argument("--no_link_images", action="store_true",
                    help="do not symlink the image dirs into --out")
+    lv = sub.add_parser("lvis", help="LVIS-92i from a raw LVIS v1 download")
+    lv.add_argument("--lvis_root", required=True,
+                    help="dir with lvis_v1_train.json + lvis_v1_val.json")
+    lv.add_argument("--out", required=True,
+                    help="output benchmark dir (name it LVIS)")
+    lv.add_argument("--coco_images", default="",
+                    help="COCO 2017 image root (contains train2017/ and "
+                         "val2017/); symlinked as {out}/coco")
+    lv.add_argument("--no_link_images", action="store_true")
     return p
 
 
@@ -212,6 +264,10 @@ def main(argv=None):
                      keep_val_class_images=args.keep_val_class_images,
                      link_images=not args.no_link_images)
         print(f"COCO-20i tree ready at {args.out}")
+    elif args.benchmark == "lvis":
+        prepare_lvis(args.lvis_root, args.out, coco_images=args.coco_images,
+                     link_images=not args.no_link_images)
+        print(f"LVIS-92i tree ready at {args.out}")
     else:  # pragma: no cover - argparse enforces the choice
         sys.exit(f"unknown benchmark {args.benchmark}")
 

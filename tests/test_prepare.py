@@ -200,3 +200,75 @@ def test_crowd_and_worker_pool(raw_coco, tmp_path):
         "COCO_train2014_000000000002.png")))
     assert ann2[25, 30] == 1  # crowd annotation painted, class 0 + 1
     assert not os.path.isdir(os.path.join(out, "train2014"))
+
+
+@pytest.fixture(scope="module")
+def raw_lvis(tmp_path_factory):
+    """A raw LVIS v1 download: lvis_v1_{train,val}.json + coco images."""
+    root = tmp_path_factory.mktemp("raw_lvis")
+    rng = np.random.default_rng(1)
+    H, W = 24, 36
+
+    cats = [5 * k + 3 for k in range(10)]  # 10 cats -> 1 val class/fold
+
+    def build(split, coco_split):
+        images, annotations, ann_id = [], [], 1
+        for i in range(1, 5):
+            name = f"{i:012d}.jpg"
+            p = os.path.join(root, "coco", coco_split, name)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            Image.fromarray(
+                rng.integers(0, 255, (H, W, 3), np.uint8)).save(p)
+            images.append({
+                "id": i, "height": H, "width": W,
+                "coco_url":
+                    f"http://images.cocodataset.org/{coco_split}/{name}"})
+        # every cat: imgs 1,2,3 (polygons); cat 3 gets TWO instances on
+        # img 1 (union) and cat 9999 only img 4 (dropped at shot=1)
+        for cat in cats:
+            for img_id in (1, 2, 3):
+                annotations.append({"id": ann_id, "image_id": img_id,
+                                    "category_id": cat,
+                                    "segmentation": _poly_rect(2, 2, 14, 12)})
+                ann_id += 1
+        annotations.append({"id": ann_id, "image_id": 1, "category_id": 3,
+                            "segmentation": _poly_rect(20, 14, 32, 22)})
+        ann_id += 1
+        annotations.append({"id": ann_id, "image_id": 4,
+                            "category_id": 9999,
+                            "segmentation": _rle_rect(H, W, 4, 12, 4, 20,
+                                                      compressed=True)})
+        with open(os.path.join(root, f"lvis_v1_{split}.json"), "w") as f:
+            json.dump({"images": images, "annotations": annotations,
+                       "categories": [{"id": c} for c in cats + [9999]]}, f)
+
+    build("train", "train2017")
+    build("val", "val2017")
+    return str(root)
+
+
+def test_prepare_lvis(raw_lvis, tmp_path):
+    out = str(tmp_path / "LVIS")
+    prepare.main(["lvis", "--lvis_root", raw_lvis, "--out", out,
+                  "--coco_images", os.path.join(raw_lvis, "coco")])
+    with open(os.path.join(out, "lvis_val.pkl"), "rb") as f:
+        val = pickle.load(f)
+    assert set(val) == {5 * k + 3 for k in range(10)} | {9999}
+    assert set(val[3]) == {"val2017/000000000001.jpg",
+                           "val2017/000000000002.jpg",
+                           "val2017/000000000003.jpg"}
+    # img 1 carries both instances of cat 3
+    assert len(val[3]["val2017/000000000001.jpg"]["annotations"]) == 2
+    assert os.path.exists(os.path.join(out, "coco", "val2017",
+                                       "000000000001.jpg"))
+
+    # the episodic loader consumes the tree: cat 9999 (1 image) drops at
+    # shot=1; 10 surviving cats interleave to 1 val class at fold 0
+    FSSDataset.initialize(img_size=48, datapath=os.path.dirname(out),
+                          raw_images=True)
+    ds = FSSDataset.build_dataset("lvis", fold=0, split="val", shot=1)
+    assert ds.class_ids_ori == [3]
+    np.random.seed(0)
+    ep = ds.get_episode(0)
+    assert ep["query_img"].shape == (48, 48, 3)
+    assert ep["query_mask"].max() == 1
