@@ -144,28 +144,38 @@ def prepare_coco(coco_root: str, out: str, workers: int = 0,
         if link_images:
             src = os.path.realpath(os.path.join(coco_root, split_dir))
             dst = os.path.join(out, split_dir)
-            if not os.path.exists(dst):
+            # lexists: a dangling symlink from a moved raw root must be
+            # replaced, not crashed into
+            if os.path.islink(dst) and os.path.realpath(dst) != src:
+                os.unlink(dst)
+            if not os.path.lexists(dst):
                 os.makedirs(out, exist_ok=True)
                 os.symlink(src, dst)
 
-        # fold metadata: class id -> sorted image-name list
+        # fold metadata: class id -> sorted image-name list.  Invert the
+        # presence map once (class -> images, image -> class set) so the
+        # per-fold pass is linear, not folds x classes x images scans —
+        # real train2014 has ~82k annotated images.
+        class_sets = {n: frozenset(cs) for n, cs in presence.items()}
+        by_class: Dict[int, List[str]] = {c: [] for c in range(_NCLASS)}
+        for n in sorted(presence):
+            for c in class_sets[n]:
+                by_class[c].append(n)  # names visit in sorted order
         pkl_dir = os.path.join(out, "splits", pkl_split)
         os.makedirs(pkl_dir, exist_ok=True)
         for fold in range(_NFOLDS):
-            val_ids = set(_val_ids(fold))
+            val_ids = frozenset(_val_ids(fold))
             if pkl_split == "val":
                 fold_classes = sorted(val_ids)
-                keep = lambda cs: True  # noqa: E731
+                excluded = frozenset()
             else:
                 fold_classes = [c for c in range(_NCLASS) if c not in val_ids]
-                if keep_val_class_images:
-                    keep = lambda cs: True  # noqa: E731
-                else:
-                    keep = lambda cs: not (set(cs) & val_ids)  # noqa: E731
+                excluded = frozenset() if keep_val_class_images else \
+                    frozenset(n for n, cs in class_sets.items()
+                              if cs & val_ids)
             # every fold class keeps a key (possibly empty on toy inputs)
             # so the loader's classwise lookup never KeyErrors
-            meta = {c: sorted(n for n, cs in presence.items()
-                              if c in cs and keep(cs))
+            meta = {c: [n for n in by_class[c] if n not in excluded]
                     for c in fold_classes}
             with open(os.path.join(pkl_dir, f"fold{fold}.pkl"), "wb") as f:
                 pickle.dump(meta, f)
@@ -207,15 +217,23 @@ def prepare_lvis(lvis_root: str, out: str, coco_images: str = "",
                 img, {"annotations": []})
             entry["annotations"].append(
                 {"segmentation": ann["segmentation"]})
+        # sort categories and per-category image keys: the loader's fold
+        # interleave (val_cat_ids[fold + 10*v]) and episode sampling
+        # (rng.choice over list(pool.keys())) both follow dict order, so
+        # pkl ordering must be deterministic, not JSON-appearance order
+        meta = {c: dict(sorted(meta[c].items())) for c in sorted(meta)}
         os.makedirs(out, exist_ok=True)
         with open(os.path.join(out, f"lvis_{split}.pkl"), "wb") as f:
             pickle.dump(meta, f)
         log(f"lvis_{split}.pkl: {len(meta)} categories, "
             f"{sum(len(v) for v in meta.values())} (category, image) pairs")
     if link_images and coco_images:
+        src = os.path.realpath(coco_images)
         dst = os.path.join(out, "coco")
-        if not os.path.exists(dst):
-            os.symlink(os.path.realpath(coco_images), dst)
+        if os.path.islink(dst) and os.path.realpath(dst) != src:
+            os.unlink(dst)
+        if not os.path.lexists(dst):
+            os.symlink(src, dst)
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -49,7 +49,8 @@ from typing import List, Tuple
 import numpy as np
 from PIL import Image
 
-from diffews_tpu.data.transforms import ImageTransform, nearest_resize_mask
+from diffews_tpu.data.transforms import (ImageTransform, _nearest_indices,
+                                         nearest_resize_mask)
 
 
 class ServeError(Exception):
@@ -60,7 +61,9 @@ class ServeError(Exception):
 
 def _b64_to_pil(data: str) -> Image.Image:
     try:
-        return Image.open(io.BytesIO(base64.b64decode(data)))
+        im = Image.open(io.BytesIO(base64.b64decode(data)))
+        im.load()  # PIL decodes lazily; force truncation errors out HERE
+        return im
     except Exception as e:
         raise ServeError(400, f"undecodable image payload: {e}")
 
@@ -160,8 +163,15 @@ class ModelServer:
         queries = _as_list(body.get("query") or [])
         if not queries:
             raise ServeError(400, "need 'query' (b64 image or list)")
-        r_thr = float(body.get("r_threshold", self.r_threshold))
-        thr = float(body.get("threshold", 0.0))
+        try:
+            r_thr = float(body.get("r_threshold", self.r_threshold))
+            thr = float(body.get("threshold", 0.0))
+        except (TypeError, ValueError) as e:
+            raise ServeError(400, f"bad threshold value: {e}")
+        if r_thr <= 0 and thr <= 0 and not body.get("return_seg"):
+            raise ServeError(400, "r_threshold and threshold are both 0 — "
+                                  "no mask would be produced; set one > 0 "
+                                  "or request 'return_seg'")
         q, sizes = self._decode_images(queries)
 
         cache_id = body.get("cache_id")
@@ -177,15 +187,25 @@ class ModelServer:
             msk = self._decode_masks(masks)
             preds = self._segment_episode(q, sup, msk, r_thr, thr)
 
-        resp = {"masks": []}
+        resp = {}
+        if preds.mask is not None:
+            resp["masks"] = []
         if body.get("return_seg"):
             resp["seg"] = []
         for i, (w, h) in enumerate(sizes):
-            m = preds.mask[i].astype(np.float32)
-            m = nearest_resize_mask(m, (h, w))  # back to the query's size
-            resp["masks"].append(_png_b64((m * 255).astype(np.uint8)))
+            if preds.mask is not None:
+                m = preds.mask[i].astype(np.float32)
+                m = nearest_resize_mask(m, (h, w))  # back to query size
+                resp["masks"].append(_png_b64((m * 255).astype(np.uint8)))
             if body.get("return_seg"):
-                resp["seg"].append(_png_b64(preds.seg_colored[i]))
+                # same geometry as the mask: torch-nearest back to the
+                # query's original size, per channel
+                seg = preds.seg_colored[i]
+                if seg.shape[:2] != (h, w):
+                    ih = _nearest_indices(seg.shape[0], h)
+                    iw = _nearest_indices(seg.shape[1], w)
+                    seg = seg[np.ix_(ih, iw)]
+                resp["seg"].append(_png_b64(seg))
         return resp
 
     # -- device work (lock-held) ---------------------------------------------
@@ -273,12 +293,21 @@ def make_handler(server: ModelServer):
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
         def _body(self) -> dict:
-            n = int(self.headers.get("Content-Length") or 0)
+            if "chunked" in (self.headers.get("Transfer-Encoding") or ""):
+                raise ServeError(411, "chunked bodies unsupported; send "
+                                      "Content-Length")
+            try:
+                n = int(self.headers.get("Content-Length") or 0)
+            except ValueError:
+                raise ServeError(400, "bad Content-Length header")
             raw = self.rfile.read(n) if n else b"{}"
             try:
-                return json.loads(raw or b"{}")
+                body = json.loads(raw or b"{}")
             except json.JSONDecodeError as e:
                 raise ServeError(400, f"bad JSON body: {e}")
+            if not isinstance(body, dict):
+                raise ServeError(400, "body must be a JSON object")
+            return body
 
         def do_GET(self):
             if self.path == "/healthz":

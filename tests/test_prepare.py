@@ -272,3 +272,23 @@ def test_prepare_lvis(raw_lvis, tmp_path):
     ep = ds.get_episode(0)
     assert ep["query_img"].shape == (48, 48, 3)
     assert ep["query_mask"].max() == 1
+
+
+def test_lvis_pkl_ordering_and_relink(raw_lvis, tmp_path):
+    """Pickles are sorted (fold interleave follows dict order); re-running
+    against a moved raw root replaces the stale symlink."""
+    out = str(tmp_path / "LVIS")
+    prepare.prepare_lvis(raw_lvis, out,
+                         coco_images=os.path.join(raw_lvis, "coco"),
+                         log=lambda *a: None)
+    with open(os.path.join(out, "lvis_train.pkl"), "rb") as f:
+        meta = pickle.load(f)
+    assert list(meta) == sorted(meta)
+    for imgs in meta.values():
+        assert list(imgs) == sorted(imgs)
+    # stale symlink (dangling or retargeted) is replaced, not crashed into
+    other = tmp_path / "elsewhere"
+    other.mkdir()
+    prepare.prepare_lvis(raw_lvis, out, coco_images=str(other),
+                         log=lambda *a: None)
+    assert os.path.realpath(os.path.join(out, "coco")) == str(other)

@@ -238,3 +238,36 @@ def test_artifact_mode(pipe, tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_zero_threshold_and_bad_values(server):
+    """Client-controlled degenerate values get 400s, not 500s."""
+    base, _ = server
+    ep = {"query": _b64_png(_rgb(50)), "supports": [_b64_png(_rgb(51))],
+          "masks": [_b64_png(_mask(52))]}
+    status, err = _call(base, "POST", "/v1/segment",
+                        {**ep, "r_threshold": 0})
+    assert status == 400 and "no mask" in err["error"]
+    status, got = _call(base, "POST", "/v1/segment",
+                        {**ep, "r_threshold": 0, "return_seg": True})
+    assert status == 200 and "masks" not in got and len(got["seg"]) == 1
+    # seg comes back at the query's original geometry, like masks
+    seg = np.asarray(Image.open(io.BytesIO(base64.b64decode(got["seg"][0]))))
+    assert seg.shape == (40, 48, 3)
+    status, err = _call(base, "POST", "/v1/segment",
+                        {**ep, "r_threshold": "abc"})
+    assert status == 400 and "threshold" in err["error"]
+    # truncated image payload -> 400 (PIL decodes lazily; forced early)
+    png = base64.b64decode(_b64_png(_rgb(53)))
+    status, err = _call(base, "POST", "/v1/segment",
+                        {**ep, "query": base64.b64encode(
+                            png[:len(png) // 2]).decode()})
+    assert status == 400 and "image payload" in err["error"]
+    # non-dict JSON body -> 400
+    req = urllib.request.Request(base + "/v1/segment", data=b"[1,2]",
+                                 method="POST")
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
