@@ -41,6 +41,7 @@ import base64
 import io
 import json
 import threading
+import time
 import uuid
 from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -57,6 +58,41 @@ class ServeError(Exception):
     def __init__(self, status: int, message: str):
         super().__init__(message)
         self.status = status
+
+
+class _MBItem:
+    """One queued single-query request in the micro-batcher."""
+
+    __slots__ = ("q", "event", "seg", "error")
+
+    def __init__(self, q: np.ndarray):
+        self.q = q
+        self.event = threading.Event()
+        self.seg = None
+        self.error = None
+
+
+class SegOutputLike:
+    """Duck-typed SegOutput (seg_colored + mask) for micro-batched rows."""
+
+    __slots__ = ("seg_colored", "mask")
+
+    def __init__(self, seg_colored, mask):
+        self.seg_colored = seg_colored
+        self.mask = mask
+
+
+def _mask_from_seg(seg: np.ndarray, r_thr: float, thr: float):
+    """Per-row threshold math, identical to PendingSeg.result()
+    (pipeline.py: to_tensor /255, then mean_RGB > r * per-row max, or the
+    absolute threshold)."""
+    if r_thr <= 0 and thr <= 0:
+        return None
+    p = seg.astype(np.float32) / 255.0
+    if r_thr > 0:
+        t = p.reshape(p.shape[0], -1).max(axis=1) * r_thr
+        return p.mean(axis=-1) > t[:, None, None]
+    return p.mean(axis=-1) > thr
 
 
 def _b64_to_pil(data: str) -> Image.Image:
@@ -87,7 +123,7 @@ class ModelServer:
 
     def __init__(self, pipe=None, artifact=None, *, bsz: int, nshot: int,
                  img_size: int, r_threshold: float, max_caches: int = 8,
-                 model_desc: str = ""):
+                 batch_window_ms: float = 0.0, model_desc: str = ""):
         assert (pipe is None) != (artifact is None)
         self.pipe = pipe
         self.artifact = artifact
@@ -95,11 +131,17 @@ class ModelServer:
         self.nshot = nshot
         self.img_size = img_size
         self.r_threshold = r_threshold
+        self.batch_window = batch_window_ms / 1e3
         self.model_desc = model_desc
         self._tf = ImageTransform(img_size, raw=True)
         self._caches: OrderedDict[str, object] = OrderedDict()
         self._max_caches = max_caches
         self._lock = threading.Lock()  # device dispatch + cache mutation
+        # cross-request micro-batching (batch_window_ms > 0): concurrent
+        # single-query requests against the same cache coalesce into one
+        # padded device call instead of each paying a full padded batch
+        self._mb_lock = threading.Lock()
+        self._mb_queues: dict = {}
 
     # -- request decoding ---------------------------------------------------
 
@@ -130,6 +172,7 @@ class ModelServer:
         return {"ok": True, "platform": jax.default_backend(),
                 "caches": len(self._caches), "model": self.model_desc,
                 "bsz": self.bsz, "nshot": self.nshot,
+                "batch_window_ms": self.batch_window * 1e3,
                 "mode": "artifact" if self.artifact is not None else "pipeline"}
 
     def add_supports(self, body: dict) -> dict:
@@ -222,6 +265,8 @@ class ModelServer:
     def _segment_cached(self, q, cache_id, r_thr, thr):
         if self.artifact is not None:
             raise ServeError(400, "artifact mode has no support cache")
+        if self.batch_window > 0 and q.shape[0] == 1:
+            return self._segment_cached_batched(q, cache_id, r_thr, thr)
         qp, n = self._pad_batch(q)
         with self._lock:
             cache = self._caches.get(cache_id)
@@ -230,6 +275,49 @@ class ModelServer:
             out = self.pipe.predict_cached(qp, cache, r_threshold=r_thr,
                                            threshold=thr)
         return _slice_out(out, n)
+
+    def _segment_cached_batched(self, q, cache_id, r_thr, thr):
+        """Coalesce concurrent single-query requests on one cache.
+
+        The first arrival becomes the leader: it sleeps the window, drains
+        whatever queued behind it (in bsz chunks), runs ONE device call per
+        chunk, and hands each waiter its row.  Thresholding is per-item
+        host math (identical to PendingSeg.result()'s per-row formula), so
+        items with different thresholds still share a device call.
+        """
+        item = _MBItem(q)
+        with self._mb_lock:
+            queue = self._mb_queues.setdefault(cache_id, [])
+            queue.append(item)
+            leader = len(queue) == 1
+        if leader:
+            time.sleep(self.batch_window)
+            with self._mb_lock:
+                batch = self._mb_queues.pop(cache_id, [])
+            try:
+                for i in range(0, len(batch), self.bsz):
+                    chunk = batch[i:i + self.bsz]
+                    qp, n = self._pad_batch(
+                        np.concatenate([it.q for it in chunk]))
+                    with self._lock:
+                        cache = self._caches.get(cache_id)
+                        if cache is None:
+                            raise ServeError(
+                                404, f"unknown cache_id {cache_id}")
+                        out = self.pipe.predict_cached(qp, cache)
+                    for j, it in enumerate(chunk):
+                        it.seg = out.seg_colored[j:j + 1]
+                        it.event.set()
+            except Exception as e:
+                for it in batch:
+                    if not it.event.is_set():
+                        it.error = e
+                        it.event.set()
+        if not item.event.wait(timeout=600):
+            raise ServeError(503, "batched request timed out")
+        if item.error is not None:
+            raise item.error
+        return SegOutputLike(item.seg, _mask_from_seg(item.seg, r_thr, thr))
 
     def _segment_episode(self, q, sup, msk, r_thr, thr):
         qp, n = self._pad_batch(q)
@@ -359,6 +447,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="default relative threshold (eval protocol value)")
     p.add_argument("--max_caches", type=int, default=8,
                    help="support caches kept on device (FIFO eviction)")
+    p.add_argument("--batch_window_ms", type=float, default=0.0,
+                   help="coalesce concurrent single-query cached requests "
+                        "for this long into one padded device call "
+                        "(0 = off); adds up to this much latency per "
+                        "request, multiplies throughput up to --bsz under "
+                        "concurrent load")
     p.add_argument("--half_precision", action="store_true",
                    help="bf16 compute (the TPU serving configuration)")
     p.add_argument("--attn_impl", default="auto",
@@ -398,6 +492,7 @@ def make_server(args) -> ModelServer:
     return ModelServer(pipe=pipe, bsz=args.bsz, nshot=args.nshot,
                        img_size=args.img_size, r_threshold=args.r_threshold,
                        max_caches=args.max_caches,
+                       batch_window_ms=args.batch_window_ms,
                        model_desc=args.checkpoint)
 
 

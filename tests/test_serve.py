@@ -271,3 +271,77 @@ def test_zero_threshold_and_bad_values(server):
         raise AssertionError("expected 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_micro_batching_coalesces_concurrent_requests(pipe):
+    """batch_window_ms > 0: concurrent single-query cached requests share
+    device calls; per-item thresholds still apply; results match the
+    unbatched server exactly."""
+    ms = serve.ModelServer(pipe=pipe, bsz=2, nshot=1, img_size=S,
+                           r_threshold=0.25, batch_window_ms=1000,
+                           model_desc="tiny")
+    direct = serve.ModelServer(pipe=pipe, bsz=2, nshot=1, img_size=S,
+                               r_threshold=0.25, model_desc="tiny")
+    sup, msk = _rgb(60), _mask(61)
+    body = {"images": [_b64_png(sup)], "masks": [_b64_png(msk)]}
+    cid = ms.add_supports(body)["cache_id"]
+    cid_d = direct.add_supports(body)["cache_id"]
+
+    calls = []
+    real = pipe.predict_cached
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    pipe.predict_cached = counting
+    try:
+        queries = [_rgb(70 + i) for i in range(4)]
+        thresholds = [{"r_threshold": 0.25}, {"r_threshold": 0.5},
+                      {"threshold": 0.4}, {"r_threshold": 0.25}]
+        results = [None] * 4
+        barrier = threading.Barrier(4)
+
+        def go(i):
+            barrier.wait()
+            results[i] = ms.segment({"query": _b64_png(queries[i]),
+                                     "cache_id": cid, **thresholds[i]})
+
+        threads = [threading.Thread(target=go, args=(i,)) for i in range(4)]
+        [t.start() for t in threads]
+        [t.join() for t in threads]
+        n_batched_calls = len(calls)
+        assert n_batched_calls <= 2  # 4 requests, bsz 2 -> 2 device calls
+
+        for i in range(4):
+            want = direct.segment({"query": _b64_png(queries[i]),
+                                   "cache_id": cid_d, **thresholds[i]})
+            assert results[i]["masks"] == want["masks"]
+        assert len(calls) == n_batched_calls + 4  # direct made 4 calls
+    finally:
+        pipe.predict_cached = real
+
+
+def test_micro_batching_surfaces_errors(pipe):
+    """A mid-flight cache eviction fails queued waiters with the 404."""
+    ms = serve.ModelServer(pipe=pipe, bsz=2, nshot=1, img_size=S,
+                           r_threshold=0.25, batch_window_ms=400,
+                           model_desc="tiny")
+    cid = ms.add_supports({"images": [_b64_png(_rgb(80))],
+                           "masks": [_b64_png(_mask(81))]})["cache_id"]
+    errors = []
+    barrier = threading.Barrier(3)
+
+    def go():
+        barrier.wait()
+        try:
+            ms.segment({"query": _b64_png(_rgb(82)), "cache_id": cid})
+        except serve.ServeError as e:
+            errors.append(e.status)
+
+    threads = [threading.Thread(target=go) for _ in range(2)]
+    [t.start() for t in threads]
+    barrier.wait()          # all queued inside the window...
+    ms.drop_supports(cid)   # ...then the cache disappears
+    [t.join() for t in threads]
+    assert errors == [404, 404]
