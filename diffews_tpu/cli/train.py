@@ -388,7 +388,9 @@ def main(argv=None):
                                                      lora=args.lora_rank > 0)
             if state_sh is not None:
                 # restore returns host arrays; re-commit the FSDP layout
-                state = jax.tree_util.tree_map(jax.device_put, state, state_sh)
+                # (make_array_from_callback also works when the sharding
+                # spans other processes — multi-host FSDP)
+                state = mesh_lib.put_sharded_host_tree(state, state_sh)
             print(f"resumed from {ckpt} @ step {global_step}")
 
     # ---- data: round-robin over benchmarks (multitask) ----
@@ -520,24 +522,31 @@ def main(argv=None):
         log_scalar("val_miou", miou, step)
         return miou
 
-    def save_ckpt(step, background):
+    def save_ckpt(step, background, write=True):
         """Checkpoint the state; in LoRA mode `unet/`/`unet_ema/` get the
         MERGED model (reference-layout-compatible) and the raw adapter
-        trees ride in the aux msgpack for exact resume."""
-        kw = {}
+        trees ride in the aux msgpack for exact resume.
+
+        Multi-host: called on EVERY process with write=is_main — the
+        device->host snapshot all-gathers cross-process FSDP shards (a
+        collective), and every process runs the same fetch sequence so the
+        collectives stay ordered; only process 0 touches disk."""
+        kw = {"write": write}
         if args.lora_rank > 0:
             from diffews_tpu.training import lora as lora_lib
 
             # merge on HOST from the f32 base (numpy trees through the same
             # merge_lora math): full-precision artifact, no HBM spike
             scale = lora_lib.lora_scale(tcfg)
+            adapters = tck.host_fetch(state.params)
             kw["params_override"] = lora_lib.merge_lora(
-                base_host, jax.device_get(state.params), scale)
-            kw["extra_aux"] = {"lora": state.params}
+                base_host, adapters, scale)
+            kw["extra_aux"] = {"lora": adapters}
             if state.ema is not None:
+                ema_adapters = tck.host_fetch(state.ema.params)
                 kw["ema_override"] = lora_lib.merge_lora(
-                    base_host, jax.device_get(state.ema.params), scale)
-                kw["extra_aux"]["lora_ema"] = state.ema.params
+                    base_host, ema_adapters, scale)
+                kw["extra_aux"]["lora_ema"] = ema_adapters
         return tck.save_checkpoint(
             args.output_dir, step, state, bundle.unet_cfg,
             args.checkpoints_total_limit, background=background, **kw)
@@ -550,6 +559,8 @@ def main(argv=None):
     t0 = time.time()
     losses = []
     profiling_active = False
+    # a resumed step already has its checkpoint on disk; -1 = nothing saved
+    last_saved_step = global_step if global_step else -1
     while global_step < args.max_train_steps:
         if is_main and args.profile_step and global_step + 1 == args.profile_step:
             # steps [profile_step, profile_step + profile_num_steps) land in
@@ -611,11 +622,15 @@ def main(argv=None):
                 and is_main:
             run_validation(state, global_step)
 
-        if global_step % args.checkpointing_steps == 0 and is_main:
+        if global_step % args.checkpointing_steps == 0:
             # background write: the multi-GB serialization overlaps the
-            # next training steps (snapshot is taken synchronously)
-            handle = save_ckpt(global_step, background=True)
-            print(f"saving {handle.ckpt_dir} (background)")
+            # next training steps (snapshot is taken synchronously).  Every
+            # process participates (the snapshot is a collective under
+            # multi-host FSDP); only process 0 writes.
+            handle = save_ckpt(global_step, background=True, write=is_main)
+            last_saved_step = global_step
+            if is_main:
+                print(f"saving {handle.ckpt_dir} (background)")
 
         if preempt.is_set():
             break
@@ -623,15 +638,15 @@ def main(argv=None):
     restore_signals()
     if profiling_active:  # loop ended inside the profiled window
         jax.profiler.stop_trace()
-    if is_main:
-        tck.wait_for_pending_saves()
-        final_dir = os.path.join(args.output_dir, f"checkpoint-{global_step}")
-        if not os.path.isdir(final_dir):
-            # skip the final save when the in-loop cadence already wrote this
-            # exact step (max_train_steps % checkpointing_steps == 0) — the
-            # multi-GB re-serialization would be pure waste; the same path
-            # writes the preemption checkpoint (loop exited early)
-            save_ckpt(global_step, background=False)
+    tck.wait_for_pending_saves()  # non-primary processes have none queued
+    if global_step != last_saved_step:
+        # skip the final save when the in-loop cadence already wrote this
+        # exact step (max_train_steps % checkpointing_steps == 0) — the
+        # multi-GB re-serialization would be pure waste; the same path
+        # writes the preemption checkpoint (loop exited early).  A shared
+        # step counter (not os.path.isdir) keeps the decision identical on
+        # every process, so the collective snapshot can't desync.
+        save_ckpt(global_step, background=False, write=is_main)
     if writer:
         writer.close()
     if preempt.is_set():

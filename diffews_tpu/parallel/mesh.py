@@ -241,6 +241,22 @@ def init_state_fsdp(tcfg, unet_params, mesh: Mesh,
     return state, shardings
 
 
+def put_sharded_host_tree(host_tree, shardings):
+    """Commit fully-replicated HOST arrays into (possibly cross-process)
+    shardings.
+
+    Multi-host FSDP resume: `jax.device_put` cannot target a sharding
+    whose devices span other processes; `make_array_from_callback` builds
+    each process's addressable shards from its local host copy (every
+    process holds the same checkpoint bytes).  Single-process it is
+    equivalent to a plain sharded device_put."""
+    def put(x, sh):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(put, host_tree, shardings)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis data sharding for episode batches."""
     return NamedSharding(mesh, P("data"))

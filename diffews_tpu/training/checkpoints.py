@@ -19,6 +19,7 @@ import threading
 from typing import Optional, Tuple
 
 import jax
+import numpy as np
 from flax import serialization
 
 from diffews_tpu import checkpoint as ckpt_lib
@@ -26,6 +27,35 @@ from diffews_tpu.configs import UNetConfig
 from diffews_tpu.training.state import TrainState
 
 STATE_FILE = "train_state.msgpack"
+
+
+def host_fetch(tree):
+    """Device -> host snapshot that also works under multi-host FSDP.
+
+    `jax.device_get` raises on a non-fully-addressable array (its shards
+    live on other processes' devices).  Those leaves are all-gathered over
+    processes instead (`process_allgather` returns the fully-replicated
+    value for a non-addressable input) — a COLLECTIVE: under multi-host,
+    every process must reach this call (the train CLI runs the snapshot on
+    all processes and gates only the disk write on process 0)."""
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            # tiled=True is REQUIRED for non-addressable inputs (and is a
+            # no-op on the value: the result is the fully-replicated array)
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return jax.device_get(x)
+
+    return jax.tree_util.tree_map(fetch, tree)
+
+
+def _host_template(tree):
+    """Structure-only host mirror (for `serialization.from_bytes` targets):
+    no device reads, no collectives — safe on any process at any time."""
+    return jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, x.dtype)
+        if isinstance(x, jax.Array) else x, tree)
 
 # at most one background serialization in flight (checkpoints are large;
 # overlapping writes would thrash disk and could reorder rotation)
@@ -62,7 +92,8 @@ def wait_for_pending_saves():
 def save_checkpoint(output_dir: str, step: int, state: TrainState,
                     unet_cfg: UNetConfig, total_limit: Optional[int] = None,
                     background: bool = False, params_override=None,
-                    ema_override=None, extra_aux: Optional[dict] = None):
+                    ema_override=None, extra_aux: Optional[dict] = None,
+                    write: bool = True):
     """Serialize `state` under `checkpoint-{step}/` (diffusers layout).
 
     The device->host snapshot happens synchronously either way (the caller
@@ -79,21 +110,28 @@ def save_checkpoint(output_dir: str, step: int, state: TrainState,
     `unet/`/`unet_ema/` dirs stay reference-readable) and the raw adapter
     state via `extra_aux` (e.g. ``{"lora": ..., "lora_ema": ...}``) for
     exact resume.
+
+    Multi-host: the snapshot all-gathers any cross-process-sharded leaves
+    (FSDP over a multi-host mesh), which is a collective — call on EVERY
+    process, with `write=False` on non-primary processes (they participate
+    in the gather and return None without touching disk).
     """
     wait_for_pending_saves()
     ckpt_dir = os.path.join(output_dir, f"checkpoint-{step}")
     tmp_dir = ckpt_dir + ".tmp"
-    params = jax.device_get(
+    params = host_fetch(
         params_override if params_override is not None else state.params)
     if ema_override is not None:
-        ema_params = jax.device_get(ema_override)
+        ema_params = host_fetch(ema_override)
     else:
-        ema_params = (jax.device_get(state.ema.params)
+        ema_params = (host_fetch(state.ema.params)
                       if state.ema is not None else None)
-    aux = {"opt_state": jax.device_get(state.opt_state), "step": int(state.step),
+    aux = {"opt_state": host_fetch(state.opt_state), "step": int(state.step),
            "ema_step": int(state.ema.step) if state.ema is not None else 0}
     if extra_aux:
-        aux.update({k: jax.device_get(v) for k, v in extra_aux.items()})
+        aux.update({k: host_fetch(v) for k, v in extra_aux.items()})
+    if not write:
+        return None
 
     def write():
         shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -168,12 +206,14 @@ def load_checkpoint(ckpt_dir: str, template: TrainState,
     original pretrained checkpoint, which the adapters re-derive)."""
     import jax.numpy as jnp
 
-    aux_template = {"opt_state": jax.device_get(template.opt_state),
+    # structure-only mirrors: no device reads (works when the template is
+    # sharded across processes — multi-host FSDP resume)
+    aux_template = {"opt_state": _host_template(template.opt_state),
                     "step": 0, "ema_step": 0}
     if lora:
-        aux_template["lora"] = jax.device_get(template.params)
+        aux_template["lora"] = _host_template(template.params)
         if template.ema is not None:
-            aux_template["lora_ema"] = jax.device_get(template.ema.params)
+            aux_template["lora_ema"] = _host_template(template.ema.params)
     with open(os.path.join(ckpt_dir, STATE_FILE), "rb") as f:
         aux = serialization.from_bytes(aux_template, f.read())
     params = (aux["lora"] if lora

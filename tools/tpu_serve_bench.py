@@ -1,0 +1,135 @@
+"""Serving-daemon throughput on the real chip: HTTP clients vs device ceiling.
+
+Measures the full serving stack (PNG decode, HTTP loopback, micro-batching,
+device call, host thresholding, PNG encode) against the raw device
+cached-serving ceiling from tools/tpu_cached_serving_bench.py.  The A/B of
+interest is --window_ms 0 (every single-query request pays a full padded
+batch) vs a small window (concurrent requests coalesce into one call).
+
+Usage: python tools/tpu_serve_bench.py [--bsz 8] [--window_ms 30]
+           [--clients 16] [--reqs 6] [--tiny]
+"""
+
+import base64
+import io
+import json
+import sys
+import threading
+import time
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+
+def _arg(flag, default):
+    return int(sys.argv[sys.argv.index(flag) + 1]) if flag in sys.argv else default
+
+
+def main():
+    b = _arg("--bsz", 8)
+    window = _arg("--window_ms", 30)
+    clients = _arg("--clients", 16)
+    reqs = _arg("--reqs", 6)
+    s = 512
+    from diffews_tpu.configs import (CLIPTextConfig, SchedulerConfig,
+                                     UNetConfig, VAEConfig)
+
+    ucfg, vcfg, tcfg = UNetConfig.sd21(), VAEConfig.sd(), CLIPTextConfig.sd21()
+    if "--tiny" in sys.argv:  # CPU smoke test of the script itself
+        jax.config.update("jax_platforms", "cpu")
+        ucfg, vcfg, tcfg, s = (UNetConfig.tiny(), VAEConfig.tiny(),
+                               CLIPTextConfig.tiny(), 32)
+
+    from diffews_tpu import checkpoint as ckpt_lib
+    from diffews_tpu.cli import serve
+    from diffews_tpu.models import unet, vae
+    from diffews_tpu.pipeline import DiffewsPipeline
+
+    up = jax.jit(lambda r: unet.init_params(r, ucfg))(jax.random.PRNGKey(0))
+    vp = jax.jit(lambda r: vae.init_params(r, vcfg))(jax.random.PRNGKey(1))
+    bundle = ckpt_lib.PipelineBundle(up, ucfg, vp, vcfg, None, tcfg,
+                                     SchedulerConfig.diffews())
+    pipe = DiffewsPipeline(bundle, compute_dtype=jnp.bfloat16)
+    del up, vp, bundle
+
+    ms = serve.ModelServer(pipe=pipe, bsz=b, nshot=1, img_size=s,
+                           r_threshold=0.25, batch_window_ms=window,
+                           model_desc="random-init sd21")
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve.make_handler(ms))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+
+    def png(arr):
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    def post(path, body):
+        req = urllib.request.Request(base + path, json.dumps(body).encode(),
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=900) as r:
+            return json.loads(r.read())
+
+    rng = np.random.default_rng(0)
+    sup = png(rng.integers(0, 256, (s, s, 3), np.uint8))
+    msk = png(((rng.random((s, s)) > 0.5) * 255).astype(np.uint8))
+    cid = post("/v1/supports", {"images": [sup], "masks": [msk]})["cache_id"]
+    payloads = [png(rng.integers(0, 256, (s, s, 3), np.uint8))
+                for _ in range(4)]
+
+    t0 = time.perf_counter()
+    post("/v1/segment", {"query": payloads[0], "cache_id": cid})
+    print(f"warmup (compile): {time.perf_counter() - t0:.1f}s", flush=True)
+
+    done = []
+    errs = []
+
+    def client(k):
+        for i in range(reqs):
+            try:
+                post("/v1/segment", {"query": payloads[(k + i) % 4],
+                                     "cache_id": cid})
+                done.append(1)
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(k,))
+               for k in range(clients)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    wall = time.perf_counter() - t0
+    if errs:
+        print(f"ERRORS: {len(errs)}, first: {errs[0]}")
+    print(f"serve_http_qps={len(done) / wall:.2f} "
+          f"(clients={clients} reqs={reqs} window_ms={window} bsz={b}, "
+          f"wall {wall:.1f}s)")
+
+    # raw device ceiling for the same cache (bench.py methodology)
+    cache = ms._caches[cid]
+    qd = jnp.asarray(rng.integers(0, 256, (b, s, s, 3)), jnp.uint8)
+    int(qd.sum())  # force upload
+    best = float("inf")
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        pend = []
+        for _i in range(6):
+            pend.append(pipe.predict_cached_async(qd, cache)._img)
+            if len(pend) >= 2:
+                int(pend.pop(0).sum())
+        while pend:
+            int(pend.pop(0).sum())
+        best = min(best, time.perf_counter() - t0)
+    print(f"device_ceiling_qps={6 * b / best:.2f}")
+    httpd.shutdown()
+
+
+if __name__ == "__main__":
+    main()
