@@ -185,6 +185,111 @@ def prepare_coco(coco_root: str, out: str, workers: int = 0,
     return presence_by_split
 
 
+def _read_name_list(path: str) -> List[str]:
+    with open(path) as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
+def _sbd_class_mask(mat_path: str) -> np.ndarray:
+    """Class map from an SBD `cls/*.mat` (MATLAB GTcls struct)."""
+    from scipy.io import loadmat
+
+    gt = loadmat(mat_path, squeeze_me=True, struct_as_record=False)["GTcls"]
+    return np.asarray(gt.Segmentation, dtype=np.uint8)
+
+
+def prepare_pascal(voc_root: str, out: str, sbd_root: str = "",
+                   min_pixels: int = 1, link_images: bool = True,
+                   log=print) -> Dict[str, List[int]]:
+    """Build the PASCAL-5i tree from raw VOC2012 (+ SBD) downloads.
+
+    The canonical tree (what the reference's `evaluation_util/data/pascal.py`
+    reads) ships as pre-built artifacts: DrSleep's `SegmentationClassAug`
+    PNGs and HSNet's `splits/{trn,val}/fold{0..3}.txt` pair lists.  This
+    builds both from the raw sources:
+
+    Input:
+        {voc_root}/JPEGImages/*.jpg                  (contains every SBD image)
+        {voc_root}/SegmentationClass/*.png           palette class maps, 255 boundary
+        {voc_root}/ImageSets/Segmentation/{train,val}.txt
+        {sbd_root}/cls/*.mat + {sbd_root}/{train,val}.txt   (optional extra
+            masks — the Berkeley SBD "benchmark_RELEASE/dataset" dir)
+
+    Output (point --datapath at the PARENT of --out; name --out VOC2012):
+        {out}/JPEGImages                             symlink
+        {out}/SegmentationClassAug/{name}.png        uint8 class map (1..20,
+                                                     255 = ignore boundary)
+        {out}/splits/{trn,val}/fold{0..3}.txt        lines "name__cc"
+                                                     (1-based class id)
+
+    Conventions (documented because the canonical artifacts are distributed,
+    not generated — exact seeded-episode parity with a downloaded tree
+    requires the canonical split files, which can simply overwrite
+    `splits/` here):
+      - masks: the VOC `SegmentationClass` PNG wins where both exist (it
+        carries the 255 ignore boundary); SBD `.mat` otherwise (no boundary).
+      - fold f covers 1-based classes {5f+1..5f+5}; a (name, class) pair is
+        listed when the class has >= --min_pixels pixels in the final mask.
+      - trn pairs draw from (VOC train ∪ SBD train ∪ SBD val) minus VOC val
+        (the standard "trainaug minus val" rule); val pairs from VOC val.
+      - lines sort by (name, class) — the seeded protocol indexes into the
+        val list, so line ORDER defines which episodes seed 0 visits.
+    """
+    seg_dir = os.path.join(voc_root, "ImageSets", "Segmentation")
+    voc_train = _read_name_list(os.path.join(seg_dir, "train.txt"))
+    voc_val = _read_name_list(os.path.join(seg_dir, "val.txt"))
+    sbd_names: List[str] = []
+    if sbd_root:
+        for part in ("train.txt", "val.txt"):
+            p = os.path.join(sbd_root, part)
+            if os.path.exists(p):
+                sbd_names += _read_name_list(p)
+
+    names = sorted(set(voc_train) | set(voc_val) | set(sbd_names))
+    ann_dir = os.path.join(out, "SegmentationClassAug")
+    os.makedirs(ann_dir, exist_ok=True)
+    voc_png_dir = os.path.join(voc_root, "SegmentationClass")
+    presence: Dict[str, List[int]] = {}
+    n_voc = n_sbd = 0
+    for name in names:
+        voc_png = os.path.join(voc_png_dir, name + ".png")
+        if os.path.exists(voc_png):
+            mask = np.array(Image.open(voc_png), dtype=np.uint8)
+            n_voc += 1
+        else:
+            mask = _sbd_class_mask(os.path.join(sbd_root, "cls", name + ".mat"))
+            n_sbd += 1
+        Image.fromarray(mask).save(os.path.join(ann_dir, name + ".png"))
+        vals, counts = np.unique(mask, return_counts=True)
+        presence[name] = [int(v) for v, c in zip(vals, counts)
+                          if 1 <= v <= 20 and c >= min_pixels]
+    log(f"SegmentationClassAug: {len(names)} masks "
+        f"({n_voc} from VOC PNGs, {n_sbd} from SBD .mat)")
+
+    if link_images:
+        src = os.path.realpath(os.path.join(voc_root, "JPEGImages"))
+        dst = os.path.join(out, "JPEGImages")
+        if os.path.islink(dst) and os.path.realpath(dst) != src:
+            os.unlink(dst)
+        if not os.path.lexists(dst):
+            os.symlink(src, dst)
+
+    val_set = frozenset(voc_val)
+    pools = {"trn": [n for n in names if n not in val_set],
+             "val": [n for n in names if n in val_set]}
+    for split, pool in pools.items():
+        d = os.path.join(out, "splits", split)
+        os.makedirs(d, exist_ok=True)
+        for fold in range(4):
+            fold_cids = range(fold * 5 + 1, fold * 5 + 6)  # 1-based
+            lines = [f"{n}__{c:02d}" for n in pool
+                     for c in fold_cids if c in presence[n]]
+            with open(os.path.join(d, f"fold{fold}.txt"), "w") as f:
+                f.write("\n".join(lines) + ("\n" if lines else ""))
+            log(f"  splits/{split}/fold{fold}.txt: {len(lines)} pairs")
+    return presence
+
+
 def prepare_lvis(lvis_root: str, out: str, coco_images: str = "",
                  link_images: bool = True, log=print) -> None:
     """Build the LVIS-92i metadata tree from a raw LVIS v1 download.
@@ -236,6 +341,85 @@ def prepare_lvis(lvis_root: str, out: str, coco_images: str = "",
             os.symlink(src, dst)
 
 
+def prepare_paco_part(paco_root: str, out: str, coco_images: str = "",
+                      link_images: bool = True, log=print) -> None:
+    """Build the PACO-Part metadata pickles from a raw PACO-LVIS download.
+
+    The reference reads Matcher-preprocessed `paco_part_{train,val}.pkl`
+    (`evaluation_util/data/paco_part.py:40-44`); this builds them from the
+    raw `{paco_root}/paco_lvis_v1_{train,val}.json` (images are COCO 2017).
+
+    Output (what `data/paco_part.py` reads; --out should be named PACO-Part):
+        {out}/paco/paco_part_{train,val}.pkl
+            {"cid2img": {part_cat_id: [{img_id: "split2017/name.jpg"}]},
+             "img2anno": {img_id: [{"category_id", "obj_ann_id",
+                                    "obj_bbox", "segmentation"}]}}
+        {out}/coco/    symlink to the COCO 2017 image root
+
+    Conventions (the canonical pickles are distributed, not generated —
+    exact seeded-episode parity requires them; this tree is episode-
+    protocol-compatible, not episode-identical):
+      - part categories are those whose name contains ':' (PACO's
+        "object:part" naming); object annotations are located via each part
+        annotation's `obj_ann_id` and contribute `obj_bbox` (xywh).
+      - cid2img lists ONE entry per (part category, object instance) — an
+        image repeats once per object carrying that part, weighting episode
+        sampling by instance count (the loader de-duplicates val lists,
+        reference `:70-84`); entries sort by (image name, obj_ann_id).
+      - cid2img KEYS sort by category id; the loader derives the val folds
+        from key order (`train_cat_ids[fold + 4*v]`, reference `:88-93`).
+    """
+    for split in ("train", "val"):
+        with open(os.path.join(paco_root,
+                               f"paco_lvis_v1_{split}.json")) as f:
+            paco = json.load(f)
+        part_cids = {c["id"] for c in paco["categories"]
+                     if ":" in c["name"]}
+        img_name = {}
+        for im in paco["images"]:
+            fn = im.get("file_name") or im.get("coco_url", "")
+            img_name[im["id"]] = "/".join(fn.split("/")[-2:])
+        ann_by_id = {a["id"]: a for a in paco["annotations"]}
+        img2anno: Dict[int, List[Dict]] = {}
+        instances: Dict[int, set] = {}
+        dropped = 0
+        for a in paco["annotations"]:
+            if a["category_id"] not in part_cids:
+                continue
+            obj = ann_by_id.get(a.get("obj_ann_id"))
+            if obj is None:  # orphaned part annotation
+                dropped += 1
+                continue
+            img2anno.setdefault(a["image_id"], []).append(
+                {"category_id": a["category_id"],
+                 "obj_ann_id": a["obj_ann_id"],
+                 "obj_bbox": obj["bbox"],
+                 "segmentation": a["segmentation"]})
+            instances.setdefault(a["category_id"], set()).add(
+                (a["image_id"], a["obj_ann_id"]))
+        cid2img = {
+            cid: [{img_id: img_name[img_id]} for img_id, _ in
+                  sorted(instances[cid],
+                         key=lambda t: (img_name[t[0]], t[1]))]
+            for cid in sorted(instances)}
+        os.makedirs(os.path.join(out, "paco"), exist_ok=True)
+        with open(os.path.join(out, "paco",
+                               f"paco_part_{split}.pkl"), "wb") as f:
+            pickle.dump({"cid2img": cid2img, "img2anno": img2anno}, f)
+        log(f"paco_part_{split}.pkl: {len(cid2img)} part categories, "
+            f"{sum(len(v) for v in cid2img.values())} instance entries"
+            + (f" ({dropped} orphaned part annotations dropped)"
+               if dropped else ""))
+    if link_images and coco_images:
+        src = os.path.realpath(coco_images)
+        dst = os.path.join(out, "coco")
+        if os.path.islink(dst) and os.path.realpath(dst) != src:
+            os.unlink(dst)
+        if not os.path.lexists(dst):
+            os.makedirs(out, exist_ok=True)
+            os.symlink(src, dst)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         "DiffewS-TPU benchmark preparation",
@@ -261,6 +445,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "episodic-FSS anti-leakage rule)")
     c.add_argument("--no_link_images", action="store_true",
                    help="do not symlink the image dirs into --out")
+    pa = sub.add_parser("pascal",
+                        help="PASCAL-5i from raw VOC2012 (+ SBD) downloads")
+    pa.add_argument("--voc_root", required=True,
+                    help="VOCdevkit/VOC2012 dir (JPEGImages, "
+                         "SegmentationClass, ImageSets/Segmentation)")
+    pa.add_argument("--sbd_root", default="",
+                    help="SBD benchmark_RELEASE/dataset dir (cls/*.mat, "
+                         "train.txt, val.txt); omit to build from VOC only")
+    pa.add_argument("--out", required=True,
+                    help="output benchmark dir (point --datapath at its "
+                         "parent; name it VOC2012)")
+    pa.add_argument("--min_pixels", type=int, default=1,
+                    help="min pixels of a class in the mask for the "
+                         "(image, class) pair to be listed")
+    pa.add_argument("--no_link_images", action="store_true")
     lv = sub.add_parser("lvis", help="LVIS-92i from a raw LVIS v1 download")
     lv.add_argument("--lvis_root", required=True,
                     help="dir with lvis_v1_train.json + lvis_v1_val.json")
@@ -270,6 +469,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="COCO 2017 image root (contains train2017/ and "
                          "val2017/); symlinked as {out}/coco")
     lv.add_argument("--no_link_images", action="store_true")
+    pp = sub.add_parser("paco_part",
+                        help="PACO-Part from a raw PACO-LVIS download")
+    pp.add_argument("--paco_root", required=True,
+                    help="dir with paco_lvis_v1_{train,val}.json")
+    pp.add_argument("--out", required=True,
+                    help="output benchmark dir (name it PACO-Part)")
+    pp.add_argument("--coco_images", default="",
+                    help="COCO 2017 image root (contains train2017/ and "
+                         "val2017/); symlinked as {out}/coco")
+    pp.add_argument("--no_link_images", action="store_true")
     return p
 
 
@@ -282,10 +491,20 @@ def main(argv=None):
                      keep_val_class_images=args.keep_val_class_images,
                      link_images=not args.no_link_images)
         print(f"COCO-20i tree ready at {args.out}")
+    elif args.benchmark == "pascal":
+        prepare_pascal(args.voc_root, args.out, sbd_root=args.sbd_root,
+                       min_pixels=args.min_pixels,
+                       link_images=not args.no_link_images)
+        print(f"PASCAL-5i tree ready at {args.out}")
     elif args.benchmark == "lvis":
         prepare_lvis(args.lvis_root, args.out, coco_images=args.coco_images,
                      link_images=not args.no_link_images)
         print(f"LVIS-92i tree ready at {args.out}")
+    elif args.benchmark == "paco_part":
+        prepare_paco_part(args.paco_root, args.out,
+                          coco_images=args.coco_images,
+                          link_images=not args.no_link_images)
+        print(f"PACO-Part tree ready at {args.out}")
     else:  # pragma: no cover - argparse enforces the choice
         sys.exit(f"unknown benchmark {args.benchmark}")
 

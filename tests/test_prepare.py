@@ -292,3 +292,109 @@ def test_lvis_pkl_ordering_and_relink(raw_lvis, tmp_path):
     prepare.prepare_lvis(raw_lvis, out, coco_images=str(other),
                          log=lambda *a: None)
     assert os.path.realpath(os.path.join(out, "coco")) == str(other)
+
+
+# ------------------------------------------------------------------ pascal
+
+
+@pytest.fixture(scope="module")
+def raw_pascal(tmp_path_factory):
+    """Raw VOC2012 + SBD downloads (tiny): overlap between the two mask
+    sources, a 255 ignore boundary in the VOC PNGs, SBD-only images."""
+    from scipy.io import savemat
+
+    root = tmp_path_factory.mktemp("raw_pascal")
+    voc = os.path.join(root, "VOCdevkit", "VOC2012")
+    sbd = os.path.join(root, "benchmark_RELEASE", "dataset")
+    rng = np.random.default_rng(2)
+    H, W = 30, 40
+    for d in ("JPEGImages", "SegmentationClass",
+              os.path.join("ImageSets", "Segmentation")):
+        os.makedirs(os.path.join(voc, d))
+    os.makedirs(os.path.join(sbd, "cls"))
+
+    def class_map(classes):
+        m = np.zeros((H, W), np.uint8)
+        for i, c in enumerate(classes):
+            m[5 * i + 2 : 5 * i + 8, 4:24] = c
+        return m
+
+    def add(name, classes, voc_png=False, sbd_mat=False, sbd_classes=None):
+        Image.fromarray(rng.integers(0, 255, (H, W, 3), np.uint8)).save(
+            os.path.join(voc, "JPEGImages", name + ".jpg"))
+        if voc_png:
+            m = class_map(classes)
+            m[0, :] = 255  # VOC ignore boundary
+            Image.fromarray(m).save(
+                os.path.join(voc, "SegmentationClass", name + ".png"))
+        if sbd_mat:
+            savemat(os.path.join(sbd, "cls", name + ".mat"),
+                    {"GTcls": {"Segmentation":
+                               class_map(sbd_classes or classes)}})
+
+    # VOC train image also in SBD with DIFFERENT content: VOC must win
+    add("a", [1, 6], voc_png=True, sbd_mat=True, sbd_classes=[9])
+    # VOC val images (PNG only)
+    add("v1", [1], voc_png=True)
+    add("v2", [1, 2], voc_png=True)
+    add("v3", [2], voc_png=True)
+    # SBD-only training images (.mat only)
+    add("s1", [2], sbd_mat=True)
+    add("s2", [6], sbd_mat=True)
+
+    def write_list(p, names):
+        with open(p, "w") as f:
+            f.write("\n".join(names) + "\n")
+
+    write_list(os.path.join(voc, "ImageSets", "Segmentation", "train.txt"),
+               ["a"])
+    write_list(os.path.join(voc, "ImageSets", "Segmentation", "val.txt"),
+               ["v1", "v2", "v3"])
+    write_list(os.path.join(sbd, "train.txt"), ["a", "s1"])
+    write_list(os.path.join(sbd, "val.txt"), ["s2"])
+    return voc, sbd
+
+
+def test_prepare_pascal(raw_pascal, tmp_path):
+    voc, sbd = raw_pascal
+    out = str(tmp_path / "VOC2012")
+    prepare.main(["pascal", "--voc_root", voc, "--sbd_root", sbd,
+                  "--out", out])
+
+    # masks: VOC PNG wins over the conflicting SBD .mat (boundary kept)
+    a = np.array(Image.open(os.path.join(out, "SegmentationClassAug",
+                                         "a.png")))
+    assert a[0, 0] == 255 and a[4, 10] == 1 and a[9, 10] == 6
+    assert not (a == 9).any()
+    s1 = np.array(Image.open(os.path.join(out, "SegmentationClassAug",
+                                          "s1.png")))
+    assert s1[4, 10] == 2 and s1[0, 0] == 0  # SBD: no boundary
+
+    def lines(split, fold):
+        with open(os.path.join(out, "splits", split,
+                               f"fold{fold}.txt")) as f:
+            return [ln for ln in f.read().split("\n") if ln]
+
+    # fold 0 = classes 1..5; trainaug excludes VOC val
+    assert lines("trn", 0) == ["a__01", "s1__02"]
+    assert lines("trn", 1) == ["a__06", "s2__06"]
+    assert lines("val", 0) == ["v1__01", "v2__01", "v2__02", "v3__02"]
+    assert lines("val", 1) == []
+    assert os.path.exists(os.path.join(out, "JPEGImages", "s1.jpg"))
+
+    # the episodic loader consumes the tree end to end
+    FSSDataset.initialize(img_size=32, datapath=str(tmp_path),
+                          raw_images=True)
+    ds = FSSDataset.build_dataset("pascal", fold=0, split="val", shot=1)
+    assert len(ds) == 1000
+    np.random.seed(0)
+    ep = ds.get_episode(0)  # query v1, class 1 (0-based 0); support = v2
+    assert int(ep["class_id"]) == 0
+    assert ep["support_names"] == ["v2"]
+    assert ep["query_img"].shape == (32, 32, 3)
+    assert ep["query_mask"].max() == 1
+    # the VOC 255 boundary rides out as the ignore mask
+    assert ep["query_ignore_idx"].max() == 1
+    # trn split reads the other folds' pair lists
+    ds_trn = FSSDataset.build_dataset("pascal", fold=0, split="trn", shot=1)
+    assert ("a", 5) in ds_trn.img_metadata  # a__06 -> 0-based class 5
