@@ -420,6 +420,213 @@ def prepare_paco_part(paco_root: str, out: str, coco_images: str = "",
             os.symlink(src, dst)
 
 
+# Pascal-Part raw part names -> merged part classes (instance suffixes
+# like "engine_2" are stripped before lookup).  The reference's merged
+# tree comes from an external preprocessor whose mapping is not public;
+# this grouping follows the dataset's own laterality/instance structure
+# (left/right/front/back copies of one anatomical part merge together).
+_PPART_MERGE = {
+    "HEAD": ("head", "leye", "reye", "lear", "rear", "nose", "muzzle",
+             "beak", "lhorn", "rhorn", "lebrow", "rebrow", "mouth", "hair"),
+    "TORSO": ("torso", "neck"),
+    "WING": ("lwing", "rwing"),
+    "TAIL": ("tail",),
+    "LEG": ("lleg", "rleg", "lfleg", "rfleg", "lbleg", "rbleg",
+            "lfuleg", "lflleg", "rfuleg", "rflleg", "lbuleg", "lblleg",
+            "rbuleg", "rblleg", "llleg", "luleg", "rlleg", "ruleg"),
+    "FOOT": ("lfoot", "rfoot", "lfpa", "rfpa", "lbpa", "rbpa",
+             "lfho", "rfho", "lbho", "rbho"),
+    "ARM": ("llarm", "luarm", "rlarm", "ruarm"),
+    "HAND": ("lhand", "rhand"),
+    "BODY": ("body",),
+    "CAP": ("cap",),
+    "POT": ("pot",),
+    "PLANT": ("plant",),
+    "SCREEN": ("screen",),
+    "STERN": ("stern",),
+    "ENGINE": ("engine",),
+    "WHEEL": ("wheel", "fwheel", "bwheel", "chainwheel"),
+    "SADDLE": ("saddle",),
+    "HANDLEBAR": ("handlebar",),
+    "LIGHT": ("headlight",),
+    "DOOR": ("door",),
+    "WINDOW": ("window",),
+    "MIRROR": ("leftmirror", "rightmirror"),
+    "PLATE": ("fliplate", "bliplate"),
+    "SIDE": ("frontside", "leftside", "rightside", "backside", "roofside",
+             "hfrontside", "hleftside", "hrightside", "hbackside",
+             "hroofside", "cfrontside", "cleftside", "crightside",
+             "cbackside", "croofside"),
+    "COACH": ("coach",),
+}
+_PPART_RAW2MERGED = {raw: merged for merged, raws in _PPART_MERGE.items()
+                     for raw in raws}
+# object class -> super-category (fold); objects without part annotations
+# (boat, chair, diningtable, sofa) never appear in the .mat parts and
+# drop out naturally.
+_PPART_SUPER = {
+    "animals": ("bird", "cat", "cow", "dog", "horse", "sheep"),
+    "indoor": ("bottle", "pottedplant", "tvmonitor"),
+    "person": ("person",),
+    "vehicles": ("aeroplane", "bicycle", "bus", "car", "motorbike",
+                 "train"),
+}
+_PPART_OBJ2SUPER = {obj: sc for sc, objs in _PPART_SUPER.items()
+                    for obj in objs}
+
+
+def _merged_part_name(raw: str) -> str:
+    base = raw.rsplit("_", 1)[0] if raw.rsplit("_", 1)[-1].isdigit() else raw
+    return _PPART_RAW2MERGED.get(base, base.upper())
+
+
+def _load_part_mat(mat_path: str):
+    """(obj name, part name->bool mask dict) list from an Annotations_Part
+    .mat (MATLAB `anno` struct: objects[].class/.mask/.parts[].part_name)."""
+    from scipy.io import loadmat
+
+    anno = loadmat(mat_path, squeeze_me=True, struct_as_record=False)["anno"]
+    objects = []
+    for o in np.atleast_1d(anno.objects):
+        parts = getattr(o, "parts", None)
+        plist = []
+        if parts is not None and np.size(parts):
+            for pt in np.atleast_1d(parts):
+                plist.append((str(pt.part_name),
+                              np.asarray(pt.mask, dtype=bool)))
+        objects.append((str(getattr(o, "class")), plist))
+    return objects
+
+
+def prepare_pascal_part(parts_root: str, voc_root: str, out: str,
+                        link_images: bool = True, log=print) -> Dict:
+    """Build the Pascal-Part merged-class JSON tree from the raw dataset.
+
+    The reference reads Matcher-preprocessed per-image JSONs plus a
+    (super-category -> object -> part -> split image lists) index
+    (`evaluation_util/data/pascal_part.py:26-46,125-128`); this builds both
+    from the raw PASCAL-Part release (`Annotations_Part/*.mat`) and a
+    VOC2010 download.
+
+    Input:
+        {parts_root}/*.mat                        the Annotations_Part dir
+        {voc_root}/JPEGImages/*.jpg               VOC2010
+        {voc_root}/ImageSets/Main/{train,val}.txt
+
+    Output (what `data/pascal_part.py` reads; --out should be named
+    Pascal-Part and --datapath should point at its parent):
+        {out}/VOCdevkit/VOC2010/JPEGImages                  symlink
+        {out}/VOCdevkit/VOC2010/
+            Annotations_Part_json_merged_part_classes/{img}.json
+                {"object": [{"name", "bndbox": {xmin,ymin,xmax,ymax},
+                             "parts": [{"name": MERGED,
+                                        "mask": [ascii-RLE]}]}]}
+        {out}/VOCdevkit/VOC2010/all_obj_part_to_image.json
+            {supercat: {"object": {obj: {"part":
+                {MERGED: {"train": [ids], "val": [ids]}}}}}}
+
+    Conventions (the canonical tree is distributed, not generated, and its
+    merger is not public — this tree is episode-protocol-compatible, not
+    episode-identical; overwrite both artifacts with canonical ones for
+    exact seeded parity):
+      - raw part names merge per `_PPART_MERGE` (laterality/instance copies
+        of one part union into an UPPERCASE class; unknown names pass
+        through uppercased); per-object union masks are re-encoded as one
+        compressed COCO RLE with ascii counts.
+      - bndbox is the object part-union's tight extent (xmin/ymin inclusive,
+        xmax/ymax exclusive) — the raw release has object masks but no
+        boxes, and the loader crops [y0:y1, x0:x1] (`pascal_part.py:29-34`).
+      - objects with no part annotations are dropped; the split index lists
+        an image under (obj, part) iff some instance in it has that part,
+        so the loader's instance re-draw loop always terminates.
+      - index keys sort by name at every level — the loader enumerates them
+        in insertion order to assign episode class ids.
+    """
+    sets_dir = os.path.join(voc_root, "ImageSets", "Main")
+    split_names = {split: _read_name_list(os.path.join(sets_dir, f"{split}.txt"))
+                   for split in ("train", "val")}
+    root = os.path.join(out, "VOCdevkit", "VOC2010")
+    json_dir = os.path.join(root, "Annotations_Part_json_merged_part_classes")
+    os.makedirs(json_dir, exist_ok=True)
+
+    # {supercat: {obj: {part: {split: set(names)}}}}
+    index: Dict[str, Dict[str, Dict[str, Dict[str, set]]]] = {}
+    n_imgs = n_objs = 0
+    missing = 0
+    for split, names in split_names.items():
+        for name in names:
+            mat_path = os.path.join(parts_root, name + ".mat")
+            if not os.path.exists(mat_path):
+                missing += 1
+                continue
+            out_objects = []
+            for obj_name, raw_parts in _load_part_mat(mat_path):
+                if not raw_parts:
+                    continue
+                merged: Dict[str, np.ndarray] = {}
+                for raw_name, pmask in raw_parts:
+                    key = _merged_part_name(raw_name)
+                    merged[key] = (pmask if key not in merged
+                                   else (merged[key] | pmask))
+                union = np.zeros_like(next(iter(merged.values())))
+                for m in merged.values():
+                    union |= m
+                ys, xs = np.nonzero(union)
+                if ys.size == 0:
+                    continue
+                parts_json = []
+                for pname in sorted(merged):
+                    rle = mask_codec.rle_encode(
+                        merged[pname].astype(np.uint8))
+                    rle["counts"] = rle["counts"].decode("ascii")
+                    parts_json.append({"name": pname, "mask": [rle]})
+                    sc = _PPART_OBJ2SUPER.get(obj_name)
+                    if sc is not None:
+                        (index.setdefault(sc, {})
+                              .setdefault(obj_name, {})
+                              .setdefault(pname, {"train": set(),
+                                                  "val": set()})
+                         [split].add(name))
+                out_objects.append({
+                    "name": obj_name,
+                    "bndbox": {"xmin": int(xs.min()), "ymin": int(ys.min()),
+                               "xmax": int(xs.max()) + 1,
+                               "ymax": int(ys.max()) + 1},
+                    "parts": parts_json,
+                })
+                n_objs += 1
+            if out_objects:
+                with open(os.path.join(json_dir, name + ".json"), "w") as f:
+                    json.dump({"object": out_objects}, f)
+                n_imgs += 1
+    log(f"part JSONs: {n_imgs} images, {n_objs} objects"
+        + (f" ({missing} split images without part annotations skipped)"
+           if missing else ""))
+
+    obj_part = {
+        sc: {"object": {obj: {"part": {part: {s: sorted(v)
+                                              for s, v in splits.items()}
+                                       for part, splits in
+                                       sorted(parts.items())}}
+                        for obj, parts in sorted(objs.items())}}
+        for sc, objs in sorted(index.items())}
+    with open(os.path.join(root, "all_obj_part_to_image.json"), "w") as f:
+        json.dump(obj_part, f)
+    for sc in obj_part:
+        pairs = sum(len(o["part"]) for o in obj_part[sc]["object"].values())
+        log(f"  {sc}: {len(obj_part[sc]['object'])} objects, "
+            f"{pairs} (object, part) classes")
+
+    if link_images:
+        src = os.path.realpath(os.path.join(voc_root, "JPEGImages"))
+        dst = os.path.join(root, "JPEGImages")
+        if os.path.islink(dst) and os.path.realpath(dst) != src:
+            os.unlink(dst)
+        if not os.path.lexists(dst):
+            os.symlink(src, dst)
+    return obj_part
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         "DiffewS-TPU benchmark preparation",
@@ -479,6 +686,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="COCO 2017 image root (contains train2017/ and "
                          "val2017/); symlinked as {out}/coco")
     pp.add_argument("--no_link_images", action="store_true")
+    qq = sub.add_parser("pascal_part",
+                        help="Pascal-Part from the raw PASCAL-Part "
+                             "annotations + VOC2010")
+    qq.add_argument("--parts_root", required=True,
+                    help="the raw Annotations_Part dir (*.mat)")
+    qq.add_argument("--voc_root", required=True,
+                    help="VOCdevkit/VOC2010 dir (JPEGImages, "
+                         "ImageSets/Main/{train,val}.txt)")
+    qq.add_argument("--out", required=True,
+                    help="output benchmark dir (point --datapath at its "
+                         "parent; name it Pascal-Part)")
+    qq.add_argument("--no_link_images", action="store_true")
     return p
 
 
@@ -505,6 +724,10 @@ def main(argv=None):
                           coco_images=args.coco_images,
                           link_images=not args.no_link_images)
         print(f"PACO-Part tree ready at {args.out}")
+    elif args.benchmark == "pascal_part":
+        prepare_pascal_part(args.parts_root, args.voc_root, args.out,
+                            link_images=not args.no_link_images)
+        print(f"Pascal-Part tree ready at {args.out}")
     else:  # pragma: no cover - argparse enforces the choice
         sys.exit(f"unknown benchmark {args.benchmark}")
 

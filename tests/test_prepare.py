@@ -398,3 +398,137 @@ def test_prepare_pascal(raw_pascal, tmp_path):
     # trn split reads the other folds' pair lists
     ds_trn = FSSDataset.build_dataset("pascal", fold=0, split="trn", shot=1)
     assert ("a", 5) in ds_trn.img_metadata  # a__06 -> 0-based class 5
+
+
+# ------------------------------------------------------------- pascal_part
+
+
+def _rect(h, w, y0, y1, x0, x1):
+    m = np.zeros((h, w), np.uint8)
+    m[y0:y1, x0:x1] = 1
+    return m
+
+
+@pytest.fixture(scope="module")
+def raw_pascal_part(tmp_path_factory):
+    """Raw PASCAL-Part download (tiny): Annotations_Part .mat structs +
+    VOC2010 images/splits.  Covers laterality/instance merging, a partless
+    object, a split image with no .mat, and two super-categories."""
+    from scipy.io import savemat
+
+    root = tmp_path_factory.mktemp("raw_ppart")
+    voc = os.path.join(root, "VOCdevkit", "VOC2010")
+    parts = os.path.join(root, "Annotations_Part")
+    os.makedirs(os.path.join(voc, "JPEGImages"))
+    os.makedirs(os.path.join(voc, "ImageSets", "Main"))
+    os.makedirs(parts)
+    rng = np.random.default_rng(3)
+    H, W = 24, 32
+
+    def mat_obj(cls, part_masks):
+        return {"class": cls, "mask": _rect(H, W, 0, H, 0, W), "parts":
+                np.array([{"part_name": n, "mask": m}
+                          for n, m in part_masks], dtype=object)}
+
+    def add(name, objs):
+        Image.fromarray(rng.integers(0, 255, (H, W, 3), np.uint8)).save(
+            os.path.join(voc, "JPEGImages", name + ".jpg"))
+        if objs is not None:
+            savemat(os.path.join(parts, name + ".mat"),
+                    {"anno": {"imname": name,
+                              "objects": np.array(objs, dtype=object)}})
+
+    def cat_obj():
+        return mat_obj("cat", [("head", _rect(H, W, 2, 6, 4, 10)),
+                               ("lear", _rect(H, W, 0, 2, 4, 6)),
+                               ("torso", _rect(H, W, 6, 14, 4, 12)),
+                               ("lfleg", _rect(H, W, 14, 20, 4, 7))])
+
+    def plane_obj():
+        return mat_obj("aeroplane", [("body", _rect(H, W, 8, 14, 2, 22)),
+                                     ("tail", _rect(H, W, 4, 8, 20, 24)),
+                                     ("engine_1", _rect(H, W, 14, 16, 6, 9)),
+                                     ("engine_2", _rect(H, W, 14, 16, 12, 15))])
+
+    # train images (one per pair so every (obj, part) has a train entry)
+    add("t_cat", [cat_obj(), mat_obj("boat", [])])  # partless obj dropped
+    add("t_plane", [plane_obj()])
+    # val images: two cats (query+support pools), two planes
+    add("v_cat1", [cat_obj()])
+    add("v_cat2", [cat_obj()])
+    add("v_plane1", [plane_obj()])
+    add("v_plane2", [plane_obj()])
+    add("no_mat", None)  # listed in the split but no part annotations
+
+    def write_list(p, names):
+        with open(p, "w") as f:
+            f.write("\n".join(names) + "\n")
+
+    write_list(os.path.join(voc, "ImageSets", "Main", "train.txt"),
+               ["t_cat", "t_plane", "no_mat"])
+    write_list(os.path.join(voc, "ImageSets", "Main", "val.txt"),
+               ["v_cat1", "v_cat2", "v_plane1", "v_plane2"])
+    return parts, voc
+
+
+def test_merged_part_names():
+    assert prepare._merged_part_name("engine_2") == "ENGINE"
+    assert prepare._merged_part_name("lfuleg") == "LEG"
+    assert prepare._merged_part_name("rbpa") == "FOOT"
+    assert prepare._merged_part_name("cleftside_1") == "SIDE"
+    assert prepare._merged_part_name("blob") == "BLOB"  # unknown passes up
+
+
+def test_prepare_pascal_part(raw_pascal_part, tmp_path):
+    parts_root, voc = raw_pascal_part
+    out = str(tmp_path / "Pascal-Part")
+    prepare.main(["pascal_part", "--parts_root", parts_root,
+                  "--voc_root", voc, "--out", out])
+    root = os.path.join(out, "VOCdevkit", "VOC2010")
+
+    with open(os.path.join(root, "all_obj_part_to_image.json")) as f:
+        idx = json.load(f)
+    assert sorted(idx) == ["animals", "vehicles"]
+    cat = idx["animals"]["object"]["cat"]["part"]
+    # head+lear merge into HEAD; the ear extends the extent to row 0
+    assert sorted(cat) == ["HEAD", "LEG", "TORSO"]
+    assert cat["HEAD"] == {"train": ["t_cat"], "val": ["v_cat1", "v_cat2"]}
+    plane = idx["vehicles"]["object"]["aeroplane"]["part"]
+    assert sorted(plane) == ["BODY", "ENGINE", "TAIL"]
+    assert "boat" not in idx.get("vehicles", {}).get("object", {})
+
+    with open(os.path.join(root,
+                           "Annotations_Part_json_merged_part_classes",
+                           "v_cat1.json")) as f:
+        anno = json.load(f)
+    (obj,) = anno["object"]
+    assert obj["name"] == "cat"
+    # bndbox = part-union tight extent, xyxy half-open
+    assert list(obj["bndbox"].values()) == [4, 0, 12, 20]
+    head = next(p for p in obj["parts"] if p["name"] == "HEAD")
+    m = mask_codec.rle_decode(
+        {**head["mask"][0],
+         "counts": head["mask"][0]["counts"].encode("ascii")})
+    expect = _rect(24, 32, 2, 6, 4, 10) | _rect(24, 32, 0, 2, 4, 6)
+    np.testing.assert_array_equal(m, expect)
+    assert not os.path.exists(
+        os.path.join(root, "Annotations_Part_json_merged_part_classes",
+                     "no_mat.json"))
+
+    # the episodic loader consumes the tree end to end
+    FSSDataset.initialize(img_size=32, datapath=str(tmp_path),
+                          raw_images=True)
+    ds = FSSDataset.build_dataset("pascal_part", fold=0, split="val",
+                                  shot=1)
+    assert ds.cat_part_name == ["cat+HEAD", "cat+LEG", "cat+TORSO"]
+    np.random.seed(0)
+    ep = ds.get_episode(0)
+    assert ep["category"] == "cat+HEAD"
+    assert {str(ep["query_name"])} | set(
+        map(str, ep["support_names"])) == {"v_cat1", "v_cat2"}
+    assert ep["query_img"].shape == (32, 32, 3)
+    assert ep["query_mask"].max() == 1
+    # fold 3 = vehicles; the loader skips aeroplane+TAIL by contract
+    ds_v = FSSDataset.build_dataset("pascal_part", fold=3, split="val",
+                                    shot=1)
+    assert ds_v.cat_part_name == ["aeroplane+BODY", "aeroplane+ENGINE"]
