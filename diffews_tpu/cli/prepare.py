@@ -420,6 +420,54 @@ def prepare_paco_part(paco_root: str, out: str, coco_images: str = "",
             os.symlink(src, dst)
 
 
+def prepare_fss(fss_root: str, out: str, link_images: bool = True,
+                log=print) -> Dict[str, List[str]]:
+    """Build the FSS-1000 benchmark tree from the raw dataset download.
+
+    The raw release (`fewshot_data/<class>/{1..10}.{jpg,png}`) has no split
+    lists; the 520/240/240 trn/val/test class partition the reference reads
+    (`evaluation_util/data/fss.py:100-107`) ships as distributed text files.
+    This writes both the layout and a split:
+
+    Output (what `data/fss.py` reads; --out should be named FSS-1000):
+        {out}/data                      symlink to the raw class dirs
+        {out}/splits/{trn,val,test}.txt one class name per line
+
+    Conventions: classes sort by name and partition 52%/24%/24% in that
+    order (520/240/240 at the full 1000).  The canonical partition is a
+    distributed artifact, not a derivable one — overwrite `splits/` with
+    the canonical lists for exact seeded parity; the loader sorts each
+    list, so order within a file does not matter.
+    """
+    if os.path.isdir(os.path.join(fss_root, "fewshot_data")):
+        fss_root = os.path.join(fss_root, "fewshot_data")
+    classes = sorted(
+        d for d in os.listdir(fss_root)
+        if os.path.isdir(os.path.join(fss_root, d))
+        and any(f.endswith(".jpg")
+                for f in os.listdir(os.path.join(fss_root, d))))
+    if not classes:
+        raise SystemExit(f"no class dirs with .jpg images under {fss_root}")
+    n = len(classes)
+    n_trn, n_val = round(0.52 * n), round(0.24 * n)
+    splits = {"trn": classes[:n_trn],
+              "val": classes[n_trn:n_trn + n_val],
+              "test": classes[n_trn + n_val:]}
+    os.makedirs(os.path.join(out, "splits"), exist_ok=True)
+    for split, cats in splits.items():
+        with open(os.path.join(out, "splits", f"{split}.txt"), "w") as f:
+            f.write("\n".join(cats) + ("\n" if cats else ""))
+        log(f"splits/{split}.txt: {len(cats)} classes")
+    if link_images:
+        src = os.path.realpath(fss_root)
+        dst = os.path.join(out, "data")
+        if os.path.islink(dst) and os.path.realpath(dst) != src:
+            os.unlink(dst)
+        if not os.path.lexists(dst):
+            os.symlink(src, dst)
+    return splits
+
+
 # Pascal-Part raw part names -> merged part classes (instance suffixes
 # like "engine_2" are stripped before lookup).  The reference's merged
 # tree comes from an external preprocessor whose mapping is not public;
@@ -698,6 +746,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="output benchmark dir (point --datapath at its "
                          "parent; name it Pascal-Part)")
     qq.add_argument("--no_link_images", action="store_true")
+    fs = sub.add_parser("fss",
+                        help="FSS-1000 from the raw dataset download")
+    fs.add_argument("--fss_root", required=True,
+                    help="the raw download's class-dir root (the dir "
+                         "containing fewshot_data/ also works)")
+    fs.add_argument("--out", required=True,
+                    help="output benchmark dir (point --datapath at its "
+                         "parent; name it FSS-1000)")
+    fs.add_argument("--no_link_images", action="store_true")
     return p
 
 
@@ -728,6 +785,10 @@ def main(argv=None):
         prepare_pascal_part(args.parts_root, args.voc_root, args.out,
                             link_images=not args.no_link_images)
         print(f"Pascal-Part tree ready at {args.out}")
+    elif args.benchmark == "fss":
+        prepare_fss(args.fss_root, args.out,
+                    link_images=not args.no_link_images)
+        print(f"FSS-1000 tree ready at {args.out}")
     else:  # pragma: no cover - argparse enforces the choice
         sys.exit(f"unknown benchmark {args.benchmark}")
 

@@ -532,3 +532,46 @@ def test_prepare_pascal_part(raw_pascal_part, tmp_path):
     ds_v = FSSDataset.build_dataset("pascal_part", fold=3, split="val",
                                     shot=1)
     assert ds_v.cat_part_name == ["aeroplane+BODY", "aeroplane+ENGINE"]
+
+
+# -------------------------------------------------------------------- fss
+
+
+def test_prepare_fss(tmp_path):
+    raw = tmp_path / "raw" / "fewshot_data"
+    rng = np.random.default_rng(4)
+    classes = [f"class_{i:02d}" for i in range(10)]
+    for c in classes:
+        d = raw / c
+        d.mkdir(parents=True)
+        for i in range(1, 11):
+            Image.fromarray(rng.integers(0, 255, (20, 20, 3), np.uint8)
+                            ).save(d / f"{i}.jpg")
+            Image.fromarray((rng.integers(0, 2, (20, 20), np.uint8) * 255)
+                            ).save(d / f"{i}.png")
+    (raw / "notes.txt").write_text("not a class dir")
+    out = tmp_path / "bench" / "FSS-1000"
+    # accepts the PARENT of fewshot_data too
+    prepare.main(["fss", "--fss_root", str(tmp_path / "raw"),
+                  "--out", str(out)])
+
+    def split(name):
+        return [ln for ln in (out / "splits" / f"{name}.txt"
+                              ).read_text().split("\n") if ln]
+
+    # 52/24/24% of 10 classes, sorted, disjoint, exhaustive
+    assert split("trn") == classes[:5]
+    assert split("val") == classes[5:7]
+    assert split("test") == classes[7:]
+    assert os.path.realpath(out / "data") == os.path.realpath(raw)
+
+    # the episodic loader consumes the tree end to end
+    FSSDataset.initialize(img_size=32, datapath=str(tmp_path / "bench"),
+                          raw_images=True)
+    ds = FSSDataset.build_dataset("fss", fold=0, split="test", shot=1)
+    assert len(ds) == 30  # 3 test classes x 10 images
+    np.random.seed(0)
+    ep = ds.get_episode(0)
+    assert int(ep["class_id"]) == 760  # test split offset
+    assert ep["query_img"].shape == (32, 32, 3)
+    assert len(ep["support_names"]) == 1
