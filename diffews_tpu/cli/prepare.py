@@ -4,9 +4,22 @@ The reference has no data-preparation code at all: its README delegates to
 an external repo ("Preparing the dataset following Matcher ... You only need
 to download the COCO 2014 dataset", `README.md:59-61`), whose users download
 pre-rendered COCO-20i mask PNGs and fold metadata pickles.  This CLI builds
-the same tree self-contained from a raw COCO 2014 download, using the
-repo's own pycocotools-parity mask codec (`diffews_tpu/data/masks.py`,
-native C++ when available) to rasterize polygon/RLE annotations:
+every benchmark tree self-contained from its raw download:
+
+    coco         COCO-20i      from a raw COCO 2014 download
+    pascal       PASCAL-5i     from raw VOC2012 (+ optional SBD)
+    fss          FSS-1000      from the raw GitHub release
+    lvis         LVIS-92i      from raw lvis_v1_{train,val}.json
+    paco_part    PACO-Part     from raw paco_lvis_v1_{train,val}.json
+    pascal_part  Pascal-Part   from the raw Annotations_Part .mat release
+
+(PASCAL-CD reuses the `pascal` tree.)  Mask rasterization uses the repo's
+own pycocotools-parity codec (`diffews_tpu/data/masks.py`, native C++ when
+available).  Each subcommand's docstring documents its conventions; where
+the canonical artifact is distributed rather than generated (PASCAL-5i /
+FSS-1000 split lists, PACO/Pascal-Part metadata), the built tree is
+episode-protocol-compatible, and overwriting those files with canonical
+ones restores exact seeded-episode parity.  The COCO-20i details below:
 
     python -m diffews_tpu.cli.prepare coco \
         --coco_root /data/coco2014 --out /data/FSSBench/COCO2014
