@@ -68,14 +68,14 @@ def _lin(sd, pfx, x):
     return F.linear(x, _t(sd, pfx + ".weight"), bias)
 
 
-def _sdpa(q, k, v, heads):
+def _sdpa(q, k, v, heads, attn_mask=None):
     """(B, S, C) x (B, T, C) multi-head attention, scale 1/sqrt(head_dim)."""
     b, s, c = q.shape
     hd = c // heads
     q = q.view(b, s, heads, hd).transpose(1, 2)
     k = k.view(b, k.shape[1], heads, hd).transpose(1, 2)
     v = v.view(b, v.shape[1], heads, hd).transpose(1, 2)
-    o = F.scaled_dot_product_attention(q, k, v)
+    o = F.scaled_dot_product_attention(q, k, v, attn_mask=attn_mask)
     return o.transpose(1, 2).reshape(b, s, c)
 
 
@@ -119,7 +119,7 @@ class _Bank:
         return k, v
 
 
-def _attn1(sd, pfx, x, heads, bank, mode, batch):
+def _attn1(sd, pfx, x, heads, bank, mode, batch, key_bias=None):
     """Self-attention with the reference's bank semantics.
 
     mode "plain": ordinary self-attention.
@@ -127,10 +127,13 @@ def _attn1(sd, pfx, x, heads, bank, mode, batch):
       (ref dispatch; the stored K/V keep the folded (B*N, S, C) batch).
     mode "concat": own K/V concatenated with the nshot-folded bank along
       the sequence axis, own tokens FIRST (`attention_processor.py:258,267`).
+    key_bias: optional (B, N*S_ref) additive logit bias on the bank tokens
+      (attn-mask variant, `attention_processor_attnmask.py:213-244`).
     """
     q = _lin(sd, pfx + ".to_q", x)
     k = _lin(sd, pfx + ".to_k", x)
     v = _lin(sd, pfx + ".to_v", x)
+    attn_mask = None
     if mode == "store":
         bank.store(k, v)
     elif mode == "concat":
@@ -138,13 +141,17 @@ def _attn1(sd, pfx, x, heads, bank, mode, batch):
         rn, s, c = kb.shape
         kb = kb.view(batch, (rn // batch) * s, c)
         vb = vb.view(batch, (rn // batch) * s, c)
+        if key_bias is not None:
+            own_zeros = torch.zeros(batch, k.shape[1])
+            attn_mask = torch.cat([own_zeros, key_bias], dim=1)[:, None, None, :]
         k = torch.cat([k, kb], dim=1)
         v = torch.cat([v, vb], dim=1)
-    o = _sdpa(q, k, v, heads)
+    o = _sdpa(q, k, v, heads, attn_mask=attn_mask)
     return _lin(sd, pfx + ".to_out.0", o)
 
 
-def _transformer2d(sd, pfx, x, ctx, heads, cfg: UNetConfig, bank, mode):
+def _transformer2d(sd, pfx, x, ctx, heads, cfg: UNetConfig, bank, mode,
+                   key_bias=None):
     b, c, hh, ww = x.shape
     residual = x
     h = _gn(sd, pfx + ".norm", x, cfg.norm_num_groups, UNET_ATTN_EPS)
@@ -158,7 +165,7 @@ def _transformer2d(sd, pfx, x, ctx, heads, cfg: UNetConfig, bank, mode):
     for i in range(cfg.transformer_layers_per_block):
         t = f"{pfx}.transformer_blocks.{i}"
         h = h + _attn1(sd, t + ".attn1", _ln(sd, t + ".norm1", h), heads,
-                       bank, mode, b)
+                       bank, mode, b, key_bias=key_bias)
         a2q = _ln(sd, t + ".norm2", h)
         q = _lin(sd, t + ".attn2.to_q", a2q)
         k = _lin(sd, t + ".attn2.to_k", ctx)
@@ -191,9 +198,14 @@ def _timestep_embedding(ts, dim, flip_sin_to_cos, downscale_freq_shift):
 
 
 def unet_forward(sd, cfg: UNetConfig, sample, timestep, ctx,
-                 bank=None, mode="plain", conv_in_key="conv_in"):
+                 bank=None, mode="plain", conv_in_key="conv_in",
+                 key_bias_by_sid=None):
     """One UNet dispatch (NCHW).  mode/bank implement the reference's
-    two-pass semantics; conv_in_key selects conv_in vs conv_in_ref."""
+    two-pass semantics; conv_in_key selects conv_in vs conv_in_ref.
+    key_bias_by_sid: optional {scale_id: (B, N*gh*gw) bias} for the
+    attn-mask variant; scale-id mapping down[i]=i / mid=n-1 / up[i]=n-1-i
+    (`unet_2d_condition_attn.py:645-666`)."""
+    kb = key_bias_by_sid or {}
     b = sample.shape[0]
     ts = torch.as_tensor([timestep] * b)
     t_emb = _timestep_embedding(ts, cfg.block_out_channels[0],
@@ -214,7 +226,8 @@ def unet_forward(sd, cfg: UNetConfig, sample, timestep, ctx,
             h = _resnet(sd, f"{pfx}.resnets.{j}", h, temb, g, eps)
             if with_attn:
                 h = _transformer2d(sd, f"{pfx}.attentions.{j}", h, ctx,
-                                   heads, cfg, bank, mode)
+                                   heads, cfg, bank, mode,
+                                   key_bias=kb.get(i))
             down_states.append(h)
         if i < n - 1:
             h = _conv(sd, f"{pfx}.downsamplers.0.conv", h, stride=2, padding=1)
@@ -222,7 +235,8 @@ def unet_forward(sd, cfg: UNetConfig, sample, timestep, ctx,
 
     h = _resnet(sd, "mid_block.resnets.0", h, temb, g, eps)
     h = _transformer2d(sd, "mid_block.attentions.0", h, ctx,
-                       cfg.num_attention_heads[-1], cfg, bank, mode)
+                       cfg.num_attention_heads[-1], cfg, bank, mode,
+                       key_bias=kb.get(n - 1))
     h = _resnet(sd, "mid_block.resnets.1", h, temb, g, eps)
 
     for i in range(n):
@@ -235,7 +249,8 @@ def unet_forward(sd, cfg: UNetConfig, sample, timestep, ctx,
             h = _resnet(sd, f"{pfx}.resnets.{j}", h, temb, g, eps)
             if with_attn:
                 h = _transformer2d(sd, f"{pfx}.attentions.{j}", h, ctx,
-                                   heads, cfg, bank, mode)
+                                   heads, cfg, bank, mode,
+                                   key_bias=kb.get(n - 1 - i))
         if i < n - 1:
             h = F.interpolate(h, scale_factor=2.0, mode="nearest")
             h = _conv(sd, f"{pfx}.upsamplers.0.conv", h)
@@ -259,6 +274,34 @@ def unet_two_pass(sd, cfg: UNetConfig, sample, timestep, ctx, ref_sample,
     bank.read = 0
     return unet_forward(sd, cfg, sample, timestep, ctx, bank=bank,
                         mode="concat")
+
+
+def unet_two_pass_attnmask(sd, cfg: UNetConfig, sample, timestep, ctx,
+                           ref_sample, ref_mask):
+    """The ATTN-MASK variant's two-pass flow
+    (`unet_2d_condition_attn.py` + `attention_processor_attnmask.py`):
+    the support stream shares the 4-ch `conv_in`, and the target pass
+    biases every bank key by `(1-mask)*-1e4` with the support mask
+    nearest-resized to each scale's token grid.
+
+    ref_sample: (B, N, in_channels, H, W); ref_mask: (B, N, Hm, Wm) binary.
+    """
+    b, nshot = ref_sample.shape[:2]
+    ref_flat = ref_sample.reshape(b * nshot, *ref_sample.shape[2:])
+    ref_ctx = ctx.repeat_interleave(nshot, dim=0)
+    bank = _Bank()
+    unet_forward(sd, cfg, ref_flat, timestep, ref_ctx, bank=bank,
+                 mode="store", conv_in_key="conv_in")
+    bank.read = 0
+    lat_h, lat_w = sample.shape[2], sample.shape[3]
+    flat_mask = ref_mask.reshape(b * nshot, 1, *ref_mask.shape[2:]).float()
+    biases = {}
+    for sid in range(cfg.num_levels):
+        gh, gw = lat_h // (2 ** sid), lat_w // (2 ** sid)
+        m = F.interpolate(flat_mask, size=(gh, gw), mode="nearest")
+        biases[sid] = (1.0 - m.reshape(b, nshot * gh * gw)) * -10000.0
+    return unet_forward(sd, cfg, sample, timestep, ctx, bank=bank,
+                        mode="concat", key_bias_by_sid=biases)
 
 
 # ---------------------------------------------------------------------------

@@ -92,6 +92,26 @@ class TestUNetOracle:
                                     torch.from_numpy(ctx), ref_t)
         _assert_close(ours, want)
 
+    def test_attnmask_variant_matches_two_pass(self, unet_ckpt):
+        """The attn-mask conditioning variant (shared conv_in, per-level
+        support-key bias) vs its literal torch two-pass emulation."""
+        params, cfg, sd = unet_ckpt
+        rng = np.random.default_rng(6)
+        b, n = 1, 2
+        x = rng.standard_normal((b, 8, 8, cfg.in_channels)).astype(np.float32)
+        ctx = rng.standard_normal((b, 7, cfg.cross_attention_dim)).astype(np.float32)
+        ref4 = rng.standard_normal((b, n, 8, 8, cfg.in_channels)).astype(np.float32)
+        rmask = (rng.random((b, n, 32, 32)) > 0.5).astype(np.float32)
+        ours = unet.forward(params, cfg, jnp.asarray(x), 1, jnp.asarray(ctx),
+                            ref_sample=jnp.asarray(ref4),
+                            ref_mask=jnp.asarray(rmask))
+        ref_t = torch.from_numpy(ref4).permute(0, 1, 4, 2, 3).contiguous()
+        with torch.no_grad():
+            want = TO.unet_two_pass_attnmask(sd, cfg, _nchw(x), 1,
+                                             torch.from_numpy(ctx), ref_t,
+                                             torch.from_numpy(rmask))
+        _assert_close(ours, want)
+
     def test_timestep_embedding_large_t(self, unet_ckpt):
         """Pin the sinusoid at a non-trivial timestep too (t=999 exercises
         the frequency ramp; t=1 alone would hide a max_period mistake)."""
