@@ -72,29 +72,6 @@ class _MBItem:
         self.error = None
 
 
-class SegOutputLike:
-    """Duck-typed SegOutput (seg_colored + mask) for micro-batched rows."""
-
-    __slots__ = ("seg_colored", "mask")
-
-    def __init__(self, seg_colored, mask):
-        self.seg_colored = seg_colored
-        self.mask = mask
-
-
-def _mask_from_seg(seg: np.ndarray, r_thr: float, thr: float):
-    """Per-row threshold math, identical to PendingSeg.result()
-    (pipeline.py: to_tensor /255, then mean_RGB > r * per-row max, or the
-    absolute threshold)."""
-    if r_thr <= 0 and thr <= 0:
-        return None
-    p = seg.astype(np.float32) / 255.0
-    if r_thr > 0:
-        t = p.reshape(p.shape[0], -1).max(axis=1) * r_thr
-        return p.mean(axis=-1) > t[:, None, None]
-    return p.mean(axis=-1) > thr
-
-
 def _b64_to_pil(data: str) -> Image.Image:
     try:
         im = Image.open(io.BytesIO(base64.b64decode(data)))
@@ -317,7 +294,12 @@ class ModelServer:
             raise ServeError(503, "batched request timed out")
         if item.error is not None:
             raise item.error
-        return SegOutputLike(item.seg, _mask_from_seg(item.seg, r_thr, thr))
+        # per-item threshold via the pipeline's own host formula (the seg
+        # row is already on the host, so .result() is pure math) — one
+        # implementation of the threshold rule, not a copy
+        from diffews_tpu.pipeline import PendingSeg
+
+        return PendingSeg(item.seg, r_thr, thr).result()
 
     def _segment_episode(self, q, sup, msk, r_thr, thr):
         qp, n = self._pad_batch(q)

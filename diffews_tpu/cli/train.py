@@ -377,6 +377,7 @@ def main(argv=None):
 
     # ---- resume ----
     global_step = 0
+    resumed_in_output_dir = False
     if args.resume_from_checkpoint:
         ckpt = (
             tck.latest_checkpoint(args.output_dir)
@@ -384,6 +385,9 @@ def main(argv=None):
             else args.resume_from_checkpoint
         )
         if ckpt:
+            resumed_in_output_dir = (
+                os.path.dirname(os.path.abspath(ckpt))
+                == os.path.abspath(args.output_dir))
             state, global_step = tck.load_checkpoint(ckpt, state,
                                                      lora=args.lora_rank > 0)
             if state_sh is not None:
@@ -457,7 +461,7 @@ def main(argv=None):
     # UNet params are swapped in from the live train state) ----
     val_state = {}
 
-    def run_validation(state, step):
+    def run_validation(unet_params, step):
         import jax.numpy as jnp
 
         from diffews_tpu.evaluation import AverageMeter, Evaluator
@@ -470,7 +474,7 @@ def main(argv=None):
             # training params (merged with the adapters in LoRA mode) in
             # for pipeline construction
             vb = _copy.copy(bundle)
-            vb.unet_params = merged_unet_params(state)
+            vb.unet_params = unet_params
             val_state["pipe"] = DiffewsPipeline(
                 vb, compute_dtype=tcfg.compute_dtype, attn_impl=args.attn_impl
             )
@@ -479,7 +483,7 @@ def main(argv=None):
             )
         pipe = val_state["pipe"]
         pipe.unet_params = jax.tree_util.tree_map(
-            lambda x: x.astype(tcfg.compute_dtype), merged_unet_params(state)
+            lambda x: x.astype(tcfg.compute_dtype), unet_params
         )
         loader = val_state["loader"]
         meter = AverageMeter(loader.dataset.benchmark, loader.dataset.class_ids)
@@ -559,8 +563,13 @@ def main(argv=None):
     t0 = time.time()
     losses = []
     profiling_active = False
-    # a resumed step already has its checkpoint on disk; -1 = nothing saved
-    last_saved_step = global_step if global_step else -1
+    preempted = False
+    # a resumed step already has its checkpoint on disk — but only count it
+    # as "saved" when it lives in THIS output_dir (resuming from a foreign
+    # checkpoint with no further steps must still write one here);
+    # -1 = nothing saved
+    last_saved_step = (global_step
+                       if global_step and resumed_in_output_dir else -1)
     while global_step < args.max_train_steps:
         if is_main and args.profile_step and global_step + 1 == args.profile_step:
             # steps [profile_step, profile_step + profile_num_steps) land in
@@ -618,9 +627,16 @@ def main(argv=None):
                       f"far ({int(metrics['notfinite_count'])} consecutive)")
                 log_scalar("nonfinite_steps", nf, global_step)
 
-        if args.validation_steps and global_step % args.validation_steps == 0 \
-                and is_main:
-            run_validation(state, global_step)
+        if args.validation_steps and global_step % args.validation_steps == 0:
+            # The param snapshot is a COLLECTIVE under multi-host FSDP
+            # (host_fetch all-gathers cross-process shards), so every
+            # process must take it; only process 0 then runs the eval
+            # loop on its local (host-replicated) copy.  Single-process
+            # keeps the zero-copy device tree.
+            vparams = (tck.host_fetch(merged_unet_params(state))
+                       if proc_cnt > 1 else merged_unet_params(state))
+            if is_main:
+                run_validation(vparams, global_step)
 
         if global_step % args.checkpointing_steps == 0:
             # background write: the multi-GB serialization overlaps the
@@ -632,7 +648,19 @@ def main(argv=None):
             if is_main:
                 print(f"saving {handle.ckpt_dir} (background)")
 
-        if preempt.is_set():
+        stop = preempt.is_set()
+        if proc_cnt > 1:
+            # signal delivery can straddle a step boundary between
+            # processes; agree on the exit step COLLECTIVELY, or one
+            # process would enter the final-save snapshot's all-gathers
+            # while another runs the next train step — mismatched
+            # collective programs deadlock the pod
+            from jax.experimental import multihost_utils
+
+            stop = bool(
+                multihost_utils.process_allgather(np.asarray([stop])).any())
+        if stop:
+            preempted = True
             break
 
     restore_signals()
@@ -649,7 +677,7 @@ def main(argv=None):
         save_ckpt(global_step, background=False, write=is_main)
     if writer:
         writer.close()
-    if preempt.is_set():
+    if preempted:
         print(f"training preempted at step {global_step}/{args.max_train_steps}"
               f" — checkpoint-{global_step} written; resume with "
               "--resume_from_checkpoint latest", flush=True)

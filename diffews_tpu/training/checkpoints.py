@@ -29,7 +29,7 @@ from diffews_tpu.training.state import TrainState
 STATE_FILE = "train_state.msgpack"
 
 
-def host_fetch(tree):
+def host_fetch(tree, collective_only: bool = False):
     """Device -> host snapshot that also works under multi-host FSDP.
 
     `jax.device_get` raises on a non-fully-addressable array (its shards
@@ -37,7 +37,14 @@ def host_fetch(tree):
     processes instead (`process_allgather` returns the fully-replicated
     value for a non-addressable input) — a COLLECTIVE: under multi-host,
     every process must reach this call (the train CLI runs the snapshot on
-    all processes and gates only the disk write on process 0)."""
+    all processes and gates only the disk write on process 0).
+
+    collective_only=True fetches ONLY the non-fully-addressable leaves
+    (returning None for the rest): a non-writing process participates in
+    the all-gathers — keeping every process's collective program identical
+    — without paying a multi-GB device_get for data it will discard.  With
+    fully replicated state (multi-host DP without FSDP) this makes the
+    non-primary snapshot free."""
     def fetch(x):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
             from jax.experimental import multihost_utils
@@ -45,7 +52,7 @@ def host_fetch(tree):
             # tiled=True is REQUIRED for non-addressable inputs (and is a
             # no-op on the value: the result is the fully-replicated array)
             return np.asarray(multihost_utils.process_allgather(x, tiled=True))
-        return jax.device_get(x)
+        return None if collective_only else jax.device_get(x)
 
     return jax.tree_util.tree_map(fetch, tree)
 
@@ -119,21 +126,24 @@ def save_checkpoint(output_dir: str, step: int, state: TrainState,
     wait_for_pending_saves()
     ckpt_dir = os.path.join(output_dir, f"checkpoint-{step}")
     tmp_dir = ckpt_dir + ".tmp"
-    params = host_fetch(
+    # A non-writing process only joins the all-gathers (identical collective
+    # order on every process) — it skips the multi-GB device_get.
+    fetch = lambda t: host_fetch(t, collective_only=not write)  # noqa: E731
+    params = fetch(
         params_override if params_override is not None else state.params)
     if ema_override is not None:
-        ema_params = host_fetch(ema_override)
+        ema_params = fetch(ema_override)
     else:
-        ema_params = (host_fetch(state.ema.params)
+        ema_params = (fetch(state.ema.params)
                       if state.ema is not None else None)
-    aux = {"opt_state": host_fetch(state.opt_state), "step": int(state.step),
+    aux = {"opt_state": fetch(state.opt_state), "step": int(state.step),
            "ema_step": int(state.ema.step) if state.ema is not None else 0}
     if extra_aux:
-        aux.update({k: host_fetch(v) for k, v in extra_aux.items()})
+        aux.update({k: fetch(v) for k, v in extra_aux.items()})
     if not write:
         return None
 
-    def write():
+    def write_to_disk():
         shutil.rmtree(tmp_dir, ignore_errors=True)
         ckpt_lib.save_unet(params, unet_cfg, os.path.join(tmp_dir, "unet"))
         if ema_params is not None:
@@ -162,7 +172,7 @@ def save_checkpoint(output_dir: str, step: int, state: TrainState,
 
         def guarded():
             try:
-                write()
+                write_to_disk()
             except BaseException as e:  # surfaced by .result()
                 handle.error = e
 
@@ -171,7 +181,7 @@ def save_checkpoint(output_dir: str, step: int, state: TrainState,
         t.start()
         _pending.append(handle)
         return handle
-    write()
+    write_to_disk()
     return ckpt_dir
 
 

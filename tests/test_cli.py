@@ -231,6 +231,33 @@ def test_train_cli_end_to_end(workdir, tmp_path):
                            p_resumed, p_straight)
 
 
+def test_train_cli_foreign_resume_writes_final_checkpoint(workdir, tmp_path):
+    """Resuming a checkpoint from ANOTHER run's output_dir with no further
+    steps to take must still write that step's checkpoint into THIS
+    output_dir — the final-save skip may only trigger for checkpoints this
+    run's own cadence wrote (regression: last_saved_step used to be seeded
+    from the resumed step unconditionally, leaving the new output_dir
+    empty)."""
+    from diffews_tpu.cli.train import main
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    common = [
+        "--pretrained_model_name_or_path", str(workdir / "ckpt"),
+        "--datapath", str(workdir / "data"),
+        "--benchmark", "coco", "--fold", "0", "--nshot", "1",
+        "--resolution", "32", "--train_batch_size", "1",
+        "--num_data_shards", "1", "--gradient_accumulation_steps", "1",
+        "--checkpointing_steps", "2", "--logging_steps", "1",
+        "--mixed_precision", "no", "--no_remat", "--seed", "0",
+        "--max_train_steps", "2",
+    ]
+    main(common + ["--output_dir", str(a)])
+    assert (a / "checkpoint-2" / "unet").is_dir()
+    main(common + ["--output_dir", str(b),
+                   "--resume_from_checkpoint", str(a / "checkpoint-2")])
+    assert (b / "checkpoint-2" / "unet").is_dir()
+
+
 def test_train_cli_preemption_checkpoint_and_exact_resume(workdir, tmp_path,
                                                           monkeypatch):
     """Graceful preemption: when the stop event trips mid-run (here,

@@ -311,7 +311,12 @@ def test_micro_batching_coalesces_concurrent_requests(pipe):
         [t.start() for t in threads]
         [t.join() for t in threads]
         n_batched_calls = len(calls)
-        assert n_batched_calls <= 2  # 4 requests, bsz 2 -> 2 device calls
+        # 4 requests at bsz 2 coalesce to 2 device calls when all four make
+        # the leader's window; a thread descheduled past the window elects
+        # itself a new leader, so on a loaded machine 3 calls are possible.
+        # The invariant under test is coalescing-happened (< 4), not an
+        # exact schedule.
+        assert n_batched_calls < 4
 
         for i in range(4):
             want = direct.segment({"query": _b64_png(queries[i]),

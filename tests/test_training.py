@@ -187,6 +187,24 @@ class TestTrainStep:
         restored, m = step(restored, _batch(gas=1, seed=3), jax.random.PRNGKey(3), vp, text)
         assert int(restored.step) == 2
 
+    def test_save_checkpoint_write_false_is_free_and_writes_nothing(
+            self, setup, tmp_path):
+        """A non-primary process (write=False) must return None, leave the
+        disk untouched, and skip the device_get on fully-addressable leaves
+        (multi-host snapshot participation without the multi-GB fetch)."""
+        ucfg, vcfg, up, vp, text = setup
+        cfg = TrainerConfig(gradient_accumulation_steps=1,
+                            compute_dtype=jnp.float32, remat=False)
+        state = init_state(cfg, up)
+        out = str(tmp_path)
+        assert tck.save_checkpoint(out, 1, state, ucfg, write=False) is None
+        assert tck.list_checkpoints(out) == []
+        assert not os.path.exists(os.path.join(out, "checkpoint-1.tmp"))
+        # collective_only host_fetch: fully-addressable leaves skip d2h
+        fetched = tck.host_fetch(state.params, collective_only=True)
+        assert all(v is None for v in jax.tree_util.tree_leaves(
+            fetched, is_leaf=lambda x: x is None))
+
     def test_checkpoint_rotation(self, setup, tmp_path):
         ucfg, vcfg, up, vp, text = setup
         cfg = TrainerConfig(gradient_accumulation_steps=1,
