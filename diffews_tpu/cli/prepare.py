@@ -303,6 +303,76 @@ def prepare_pascal(voc_root: str, out: str, sbd_root: str = "",
     return presence
 
 
+# PASCAL VOC class names, 1-based order (class id c -> name [c-1])
+PASCAL_CLASS_NAMES = [
+    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
+    "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
+    "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+]
+
+# Contiguous COCO-80 class index (1-based) of each PASCAL class — the index
+# the COCO-20i protocol folds over (`data/coco.py`: 0-based class c is a
+# fold-f val class iff c % 4 == f).
+_PASCAL_TO_COCO80 = {
+    "aeroplane": 5, "bicycle": 2, "bird": 15, "boat": 9, "bottle": 40,
+    "bus": 6, "car": 3, "cat": 16, "chair": 56, "cow": 20,
+    "diningtable": 60, "dog": 17, "horse": 18, "motorbike": 4, "person": 1,
+    "pottedplant": 58, "sheep": 19, "sofa": 57, "train": 7, "tvmonitor": 62,
+}
+
+
+def prepare_pascal_cd(out: str, folds_json: str = "", log=print) -> dict:
+    """Add the cross-domain metadata to a prepared PASCAL-5i tree.
+
+    `DatasetPASCALCD` (reference `pascal_voc_cd.py:27-28`) reads two torch
+    pickles next to the PASCAL tree that the reference ships as opaque
+    author artifacts with no in-repo provenance:
+
+        {out}/cd_folds.pth       {fold: [1-based PASCAL class ids]}
+        {out}/class_names.pth    [20 class names, id order]
+
+    This generates both.  `--folds_json` reproduces an EXTERNAL fold spec
+    exactly (a JSON object {"0": [ids...], ...} or list of 4 id lists —
+    use this for parity with a specific published grouping, or simply drop
+    the authors' own .pth files into the tree instead).  Without it, the
+    default grouping is derived from the COCO-to-PASCAL protocol the CD
+    benchmark models (train on COCO-20i fold f, evaluate on the PASCAL
+    classes COCO fold f held out): each PASCAL class joins fold
+    `(coco80_index - 1) % 4` of its contiguous COCO-80 class index — the
+    same fold rule `data/coco.py` applies to COCO classes.  The derivation
+    is deterministic and documented here precisely because the canonical
+    artifact is not reconstructible from the reference repo.
+
+    `out` is the VOC2012 dir produced by `prepare pascal` (the tree itself
+    is shared; only these two files are CD-specific).
+    """
+    import torch
+
+    if folds_json:
+        with open(folds_json) as f:
+            spec = json.load(f)
+        if isinstance(spec, dict):
+            folds = {int(k): [int(c) for c in v] for k, v in spec.items()}
+        else:
+            folds = {i: [int(c) for c in v] for i, v in enumerate(spec)}
+    else:
+        folds = {f: [] for f in range(4)}
+        for cid, name in enumerate(PASCAL_CLASS_NAMES, start=1):
+            folds[(_PASCAL_TO_COCO80[name] - 1) % 4].append(cid)
+    ids = sorted(c for v in folds.values() for c in v)
+    if ids != list(range(1, 21)) or sorted(folds) != [0, 1, 2, 3]:
+        raise SystemExit(
+            "fold spec must partition the 1-based PASCAL class ids 1..20 "
+            f"over folds 0..3 (got folds {sorted(folds)}, ids {ids})")
+    os.makedirs(out, exist_ok=True)
+    torch.save(folds, os.path.join(out, "cd_folds.pth"))
+    torch.save(list(PASCAL_CLASS_NAMES), os.path.join(out, "class_names.pth"))
+    for f in range(4):
+        log(f"  fold {f}: " + ", ".join(
+            f"{c}:{PASCAL_CLASS_NAMES[c - 1]}" for c in sorted(folds[f])))
+    return folds
+
+
 def prepare_lvis(lvis_root: str, out: str, coco_images: str = "",
                  link_images: bool = True, log=print) -> None:
     """Build the LVIS-92i metadata tree from a raw LVIS v1 download.
@@ -728,6 +798,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="min pixels of a class in the mask for the "
                          "(image, class) pair to be listed")
     pa.add_argument("--no_link_images", action="store_true")
+    cd = sub.add_parser("pascal_cd",
+                        help="PASCAL-CD metadata (cd_folds.pth + "
+                             "class_names.pth) onto a prepared PASCAL tree")
+    cd.add_argument("--out", required=True,
+                    help="the VOC2012 dir `prepare pascal` produced")
+    cd.add_argument("--folds_json", default="",
+                    help="optional JSON fold spec ({\"0\": [ids...], ...} "
+                         "or 4 lists, 1-based class ids) to reproduce an "
+                         "external grouping exactly; default derives folds "
+                         "from the COCO-20i rule on each class's COCO-80 "
+                         "index")
     lv = sub.add_parser("lvis", help="LVIS-92i from a raw LVIS v1 download")
     lv.add_argument("--lvis_root", required=True,
                     help="dir with lvis_v1_train.json + lvis_v1_val.json")
@@ -785,6 +866,9 @@ def main(argv=None):
                        min_pixels=args.min_pixels,
                        link_images=not args.no_link_images)
         print(f"PASCAL-5i tree ready at {args.out}")
+    elif args.benchmark == "pascal_cd":
+        prepare_pascal_cd(args.out, folds_json=args.folds_json)
+        print(f"PASCAL-CD metadata ready at {args.out}")
     elif args.benchmark == "lvis":
         prepare_lvis(args.lvis_root, args.out, coco_images=args.coco_images,
                      link_images=not args.no_link_images)

@@ -400,6 +400,51 @@ def test_prepare_pascal(raw_pascal, tmp_path):
     assert ("a", 5) in ds_trn.img_metadata  # a__06 -> 0-based class 5
 
 
+def test_prepare_pascal_cd(raw_pascal, tmp_path):
+    """The pascal_cd subcommand writes cd_folds.pth/class_names.pth onto a
+    prepared PASCAL tree, the default COCO-derived grouping partitions the
+    20 ids, an explicit --folds_json wins, and DatasetPASCALCD consumes
+    the result through the factory."""
+    import torch
+
+    voc, sbd = raw_pascal
+    out = str(tmp_path / "VOC2012")
+    prepare.main(["pascal", "--voc_root", voc, "--sbd_root", sbd,
+                  "--out", out])
+    prepare.main(["pascal_cd", "--out", out])
+    folds = torch.load(os.path.join(out, "cd_folds.pth"), weights_only=False)
+    assert sorted(c for v in folds.values() for c in v) == list(range(1, 21))
+    names = torch.load(os.path.join(out, "class_names.pth"),
+                       weights_only=False)
+    assert names[0] == "aeroplane" and names[14] == "person"
+    # documented derivation: person (COCO-80 index 1) lands in fold 0
+    assert 15 in folds[0]
+
+    # an explicit spec reproduces an external grouping exactly
+    spec = tmp_path / "folds.json"
+    spec.write_text(json.dumps({str(f): [f * 5 + i + 1 for i in range(5)]
+                                for f in range(4)}))
+    prepare.main(["pascal_cd", "--out", out, "--folds_json", str(spec)])
+    folds = torch.load(os.path.join(out, "cd_folds.pth"), weights_only=False)
+    assert folds[0] == [1, 2, 3, 4, 5]
+
+    # the CD dataset consumes the metadata end to end (fold 0 classes are
+    # now 1..5, so the synthetic val episodes exist)
+    FSSDataset.initialize(img_size=32, datapath=str(tmp_path),
+                          raw_images=True)
+    ds = FSSDataset.build_dataset("pascal_cd", fold=0, split="val", shot=1)
+    np.random.seed(0)
+    ep = ds.get_episode(0)
+    assert int(ep["class_id"]) in range(0, 5)
+    assert ep["query_img"].shape == (32, 32, 3)
+
+    # a malformed spec (missing ids) is rejected
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps([[1], [2], [3], [4]]))
+    with pytest.raises(SystemExit):
+        prepare.main(["pascal_cd", "--out", out, "--folds_json", str(bad)])
+
+
 # ------------------------------------------------------------- pascal_part
 
 
