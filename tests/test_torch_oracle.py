@@ -125,6 +125,44 @@ class TestUNetOracle:
         _assert_close(ours, want)
 
 
+class TestUNetOracleMidConfig:
+    def test_three_level_asymmetric_config(self, tmp_path):
+        """A 3-level config with distinct per-level head counts, 2 layers
+        per block and a mixed block-type layout — exercises the up-path
+        skip/head index arithmetic ((n-1-i) mappings, layers_per_block+1
+        resnets) that the 2-level tiny config cannot."""
+        cfg = UNetConfig(
+            sample_size=16,
+            block_out_channels=(32, 64, 64),
+            down_block_types=("CrossAttnDownBlock2D", "CrossAttnDownBlock2D",
+                              "DownBlock2D"),
+            up_block_types=("UpBlock2D", "CrossAttnUpBlock2D",
+                            "CrossAttnUpBlock2D"),
+            layers_per_block=2,
+            num_attention_heads=(2, 4, 8),
+            cross_attention_dim=32,
+            norm_num_groups=8,
+        )
+        params = jax.jit(lambda r: unet.init_params(r, cfg))(jax.random.PRNGKey(7))
+        d = tmp_path / "unet_mid"
+        C.save_unet(params, cfg, str(d))
+        params, cfg = C.load_unet(str(d))
+        from safetensors import numpy as st_np
+
+        sd = st_np.load_file(str(d / C.WEIGHTS_SAFETENSORS))
+        rng = np.random.default_rng(8)
+        x = rng.standard_normal((1, 16, 16, cfg.in_channels)).astype(np.float32)
+        ctx = rng.standard_normal((1, 5, cfg.cross_attention_dim)).astype(np.float32)
+        ref = rng.standard_normal((1, 2, 16, 16, cfg.ref_in_channels)).astype(np.float32)
+        ours = unet.forward(params, cfg, jnp.asarray(x), 1, jnp.asarray(ctx),
+                            ref_sample=jnp.asarray(ref))
+        ref_t = torch.from_numpy(ref).permute(0, 1, 4, 2, 3).contiguous()
+        with torch.no_grad():
+            want = TO.unet_two_pass(sd, cfg, _nchw(x), 1,
+                                    torch.from_numpy(ctx), ref_t)
+        _assert_close(ours, want)
+
+
 class TestVAEOracle:
     def test_encode_moments(self, vae_ckpt):
         params, cfg, sd = vae_ckpt
