@@ -12,6 +12,11 @@ the full-episode rate at 1-shot, 2.27x at 5-shot; PERF.md):
 Endpoints (JSON bodies; images are base64-encoded PNG/JPEG):
     GET  /healthz
         -> {"ok", "platform", "caches", "model"}
+    GET  /v1/stats
+        -> request metrics: per-endpoint count/errors/mean/p50/p99 latency
+           (percentiles over the last 512 requests), queries served, and
+           the wall time spent holding the device-dispatch lock (the
+           serialized section that bounds throughput)
     POST /v1/supports      {"images": [b64, ...], "masks": [b64, ...]}
         -> {"cache_id", "n_shots"}          (precomputes the support K/V)
     DELETE /v1/supports/<cache_id>
@@ -44,6 +49,7 @@ import threading
 import time
 import uuid
 from collections import OrderedDict
+from contextlib import contextmanager
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Tuple
 
@@ -58,6 +64,67 @@ class ServeError(Exception):
     def __init__(self, status: int, message: str):
         super().__init__(message)
         self.status = status
+
+
+class _Stats:
+    """Thread-safe per-endpoint request metrics for `GET /v1/stats`.
+
+    Keeps a bounded ring of recent latencies per endpoint (percentiles are
+    over that window, not all-time) plus all-time counters; `device_s`
+    accumulates wall time spent inside the device-dispatch lock — the
+    serialized section that bounds server throughput.
+    """
+
+    WINDOW = 512
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._t0 = time.monotonic()
+        self._ep: dict = {}  # name -> [count, errors, total_s, ring list]
+        self.queries = 0     # query images served (segment successes)
+        self.device_s = 0.0  # wall time holding the device-dispatch lock
+        self.device_calls = 0
+
+    def record(self, name: str, seconds: float, error: bool) -> None:
+        with self._lock:
+            e = self._ep.setdefault(name, [0, 0, 0.0, []])
+            e[0] += 1
+            e[1] += int(error)
+            e[2] += seconds
+            ring = e[3]
+            ring.append(seconds)
+            if len(ring) > self.WINDOW:
+                del ring[: len(ring) - self.WINDOW]
+
+    def add_queries(self, n: int) -> None:
+        with self._lock:
+            self.queries += n
+
+    def add_device(self, seconds: float) -> None:
+        with self._lock:
+            self.device_s += seconds
+            self.device_calls += 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            eps = {}
+            for name, (count, errors, total, ring) in self._ep.items():
+                lat = sorted(ring)
+                eps[name] = {
+                    "count": count,
+                    "errors": errors,
+                    "mean_ms": round(total / count * 1e3, 3),
+                    "p50_ms": round(lat[len(lat) // 2] * 1e3, 3),
+                    "p99_ms": round(lat[max(0, int(len(lat) * 0.99) - 1)]
+                                    * 1e3, 3),
+                }
+            return {
+                "uptime_s": round(time.monotonic() - self._t0, 3),
+                "queries": self.queries,
+                "device_calls": self.device_calls,
+                "device_s": round(self.device_s, 3),
+                "endpoints": eps,
+            }
 
 
 class _MBItem:
@@ -119,6 +186,23 @@ class ModelServer:
         # padded device call instead of each paying a full padded batch
         self._mb_lock = threading.Lock()
         self._mb_queues: dict = {}
+        self.stats = _Stats()
+
+    @contextmanager
+    def _device(self):
+        """The device-dispatch lock, with held-time accounted in stats."""
+        dt = 0.0
+        try:
+            with self._lock:
+                t0 = time.monotonic()
+                try:
+                    yield
+                finally:
+                    dt = time.monotonic() - t0
+        finally:
+            # after the lock releases (stats has its own lock); also on the
+            # error path — a failing device call still held the lock
+            self.stats.add_device(dt)
 
     # -- request decoding ---------------------------------------------------
 
@@ -146,11 +230,22 @@ class ModelServer:
     def healthz(self) -> dict:
         import jax
 
+        mesh_desc = ""
+        if self.pipe is not None:
+            for m in (getattr(self.pipe, "mesh", None),
+                      getattr(self.pipe, "shot_mesh", None)):
+                if m is not None:
+                    mesh_desc = "x".join(
+                        f"{ax}={m.shape[ax]}" for ax in m.axis_names)
         return {"ok": True, "platform": jax.default_backend(),
                 "caches": len(self._caches), "model": self.model_desc,
                 "bsz": self.bsz, "nshot": self.nshot,
                 "batch_window_ms": self.batch_window * 1e3,
+                "mesh": mesh_desc,
                 "mode": "artifact" if self.artifact is not None else "pipeline"}
+
+    def stats_snapshot(self) -> dict:
+        return self.stats.snapshot()
 
     def add_supports(self, body: dict) -> dict:
         if self.artifact is not None:
@@ -158,6 +253,11 @@ class ModelServer:
                                   "(the exported program is a fixed-shape "
                                   "full episode); use /v1/segment with "
                                   "supports+masks")
+        if getattr(self.pipe, "shot_mesh", None) is not None:
+            raise ServeError(400, "the support-KV cache does not compose "
+                                  "with shot-parallel serving "
+                                  "(--num_shot_shards); use /v1/segment "
+                                  "with supports+masks")
         images = _as_list(body.get("images") or [])
         masks = _as_list(body.get("masks") or [])
         if not images or len(images) != len(masks):
@@ -166,7 +266,7 @@ class ModelServer:
         sup, _ = self._decode_images(images)
         msk = self._decode_masks(masks)
         cache_id = uuid.uuid4().hex[:12]
-        with self._lock:
+        with self._device():
             cache = self.pipe.precompute_supports(sup[None], msk[None])
             self._caches[cache_id] = cache
             while len(self._caches) > self._max_caches:
@@ -206,6 +306,7 @@ class ModelServer:
             sup, _ = self._decode_images(supports)
             msk = self._decode_masks(masks)
             preds = self._segment_episode(q, sup, msk, r_thr, thr)
+        self.stats.add_queries(len(queries))
 
         resp = {}
         if preds.mask is not None:
@@ -245,7 +346,7 @@ class ModelServer:
         if self.batch_window > 0 and q.shape[0] == 1:
             return self._segment_cached_batched(q, cache_id, r_thr, thr)
         qp, n = self._pad_batch(q)
-        with self._lock:
+        with self._device():
             cache = self._caches.get(cache_id)
             if cache is None:
                 raise ServeError(404, f"unknown cache_id {cache_id}")
@@ -276,7 +377,7 @@ class ModelServer:
                     chunk = batch[i:i + self.bsz]
                     qp, n = self._pad_batch(
                         np.concatenate([it.q for it in chunk]))
-                    with self._lock:
+                    with self._device():
                         cache = self._caches.get(cache_id)
                         if cache is None:
                             raise ServeError(
@@ -317,7 +418,7 @@ class ModelServer:
             shot_mask[:, :ns] = True
         supb = np.broadcast_to(sup[None], (self.bsz,) + sup.shape)
         mskb = np.broadcast_to(msk[None], (self.bsz,) + msk.shape)
-        with self._lock:
+        with self._device():
             if self.artifact is not None:
                 # the exported program's signature is frozen at uint8
                 # {0,1} masks (serving.export_predict specs)
@@ -354,13 +455,19 @@ def make_handler(server: ModelServer):
             self.end_headers()
             self.wfile.write(body)
 
-        def _dispatch(self, fn, *args):
+        def _dispatch(self, name, fn, *args):
+            t0 = time.monotonic()
+            ok = False
             try:
-                self._send(200, fn(*args))
+                resp = fn(*args)
+                ok = True
+                self._send(200, resp)
             except ServeError as e:
                 self._send(e.status, {"error": str(e)})
             except Exception as e:  # surface, don't kill the thread
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
+            finally:
+                server.stats.record(name, time.monotonic() - t0, not ok)
 
         def _body(self) -> dict:
             if "chunked" in (self.headers.get("Transfer-Encoding") or ""):
@@ -381,7 +488,9 @@ def make_handler(server: ModelServer):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._dispatch(server.healthz)
+                self._dispatch("healthz", server.healthz)
+            elif self.path == "/v1/stats":
+                self._dispatch("stats", server.stats_snapshot)
             else:
                 self._send(404, {"error": f"no route {self.path}"})
 
@@ -391,16 +500,17 @@ def make_handler(server: ModelServer):
             except ServeError as e:
                 return self._send(e.status, {"error": str(e)})
             if self.path == "/v1/supports":
-                self._dispatch(server.add_supports, body)
+                self._dispatch("supports.add", server.add_supports, body)
             elif self.path == "/v1/segment":
-                self._dispatch(server.segment, body)
+                self._dispatch("segment", server.segment, body)
             else:
                 self._send(404, {"error": f"no route {self.path}"})
 
         def do_DELETE(self):
             prefix = "/v1/supports/"
             if self.path.startswith(prefix):
-                self._dispatch(server.drop_supports, self.path[len(prefix):])
+                self._dispatch("supports.drop", server.drop_supports,
+                               self.path[len(prefix):])
             else:
                 self._send(404, {"error": f"no route {self.path}"})
 
@@ -435,6 +545,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "(0 = off); adds up to this much latency per "
                         "request, multiplies throughput up to --bsz under "
                         "concurrent load")
+    p.add_argument("--num_data_shards", type=int, default=1,
+                   help="shard the server batch over this many chips "
+                        "(('data',) mesh; --bsz must divide evenly)")
+    p.add_argument("--num_shot_shards", type=int, default=1,
+                   help="shard episode SUPPORT SHOTS over this many chips "
+                        "(('shots',) mesh with an exact per-attention "
+                        "softmax merge; --nshot must divide evenly; "
+                        "composes with --num_data_shards as a 2-D mesh). "
+                        "Disables /v1/supports caching (the cache does not "
+                        "compose with the cross-chip merge)")
     p.add_argument("--half_precision", action="store_true",
                    help="bf16 compute (the TPU serving configuration)")
     p.add_argument("--attn_impl", default="auto",
@@ -453,6 +573,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def make_server(args) -> ModelServer:
     if args.artifact:
+        if getattr(args, "num_data_shards", 1) > 1 or \
+                getattr(args, "num_shot_shards", 1) > 1:
+            raise SystemExit("--artifact serves a fixed single-device "
+                             "program; export with the desired sharding "
+                             "instead of --num_*_shards")
         from diffews_tpu import serving
 
         mod = serving.load(args.artifact)
@@ -465,12 +590,33 @@ def make_server(args) -> ModelServer:
 
     from diffews_tpu.pipeline import DiffewsPipeline
 
+    # Multi-chip serving meshes — same rules as cli/evaluate.py: batch rows
+    # shard over ("data",), support shots over ("shots",) with the exact
+    # log-sum-exp attention merge; both compose as a 2-D mesh.
+    mesh = shot_mesh = None
+    nds, nss = getattr(args, "num_data_shards", 1), \
+        getattr(args, "num_shot_shards", 1)
+    if nds > 1 and args.bsz % nds:
+        raise SystemExit(f"--bsz {args.bsz} must be divisible by "
+                         f"--num_data_shards {nds}")
+    if nss > 1:
+        from diffews_tpu.parallel import mesh as mesh_lib
+
+        if args.nshot % nss:
+            raise SystemExit(f"--nshot {args.nshot} must be divisible by "
+                             f"--num_shot_shards {nss}")
+        shot_mesh = mesh_lib.make_shot_mesh(nss, n_data=nds)
+    elif nds > 1:
+        from diffews_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(n_data=nds)
+
     pipe = DiffewsPipeline.from_pretrained(
         args.checkpoint, unet_dir=args.unet_ckpt_path,
         scheduler_dir=args.scheduler_load_path,
         compute_dtype=jnp.bfloat16 if args.half_precision else jnp.float32,
         attn_impl=args.attn_impl, vae_impl=args.vae_impl,
-        unet_int8=args.unet_int8)
+        unet_int8=args.unet_int8, mesh=mesh, shot_mesh=shot_mesh)
     return ModelServer(pipe=pipe, bsz=args.bsz, nshot=args.nshot,
                        img_size=args.img_size, r_threshold=args.r_threshold,
                        max_caches=args.max_caches,

@@ -1,0 +1,102 @@
+"""Serving-daemon quickstart: the HTTP API end to end, in one process.
+
+Starts the daemon's ModelServer on a loopback port with a tiny random-init
+model (real use: `python -m diffews_tpu.cli.serve --checkpoint <dir>` on the
+TPU host), then drives it like a client would:
+
+  1. register an annotated support set once  (POST /v1/supports)
+  2. segment a stream of queries against it   (POST /v1/segment, cache_id)
+  3. read the request metrics                 (GET  /v1/stats)
+
+The cached pattern is the production sweet spot: one support set serving
+many queries skips the per-query support encodes + UNet support stream
+(measured 1.68x the full-episode rate at 1-shot 512px on a v5e — PERF.md).
+
+    python examples/serve_client.py
+"""
+
+import base64
+import io
+import json
+import os
+import sys
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if not os.environ.get("DIFFEWS_EXAMPLE_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+from PIL import Image
+
+from diffews_tpu import checkpoint as C
+from diffews_tpu.cli import serve
+from diffews_tpu.configs import (CLIPTextConfig, SchedulerConfig, UNetConfig,
+                                 VAEConfig)
+from diffews_tpu.models import unet, vae
+from diffews_tpu.pipeline import DiffewsPipeline
+
+
+def b64_png(arr: np.ndarray) -> str:
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def call(base, method, path, body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(base + path, data=data, method=method)
+    with urllib.request.urlopen(req, timeout=600) as r:
+        return json.loads(r.read())
+
+
+def main():
+    # --- daemon (real use: the CLI with a checkpoint dir) ---------------
+    ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
+    bundle = C.PipelineBundle(
+        jax.jit(lambda r: unet.init_params(r, ucfg))(jax.random.PRNGKey(0)),
+        ucfg,
+        jax.jit(lambda r: vae.init_params(r, vcfg))(jax.random.PRNGKey(1)),
+        vcfg,
+        None, CLIPTextConfig.tiny(), SchedulerConfig.diffews(),
+    )
+    ms = serve.ModelServer(pipe=DiffewsPipeline(bundle), bsz=2, nshot=2,
+                           img_size=32, r_threshold=0.25, model_desc="tiny")
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve.make_handler(ms))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    print("daemon:", call(base, "GET", "/healthz"))
+
+    # --- one support set, many queries ----------------------------------
+    rng = np.random.default_rng(0)
+    support = rng.integers(0, 255, (48, 48, 3), np.uint8)
+    mask = np.zeros((48, 48), np.uint8)
+    mask[8:40, 8:40] = 255
+    cache = call(base, "POST", "/v1/supports",
+                 {"images": [b64_png(support)], "masks": [b64_png(mask)]})
+    print("support cache:", cache)
+
+    for i in range(3):  # e.g. frames of a video, images of a dataset
+        frame = rng.integers(0, 255, (48, 48, 3), np.uint8)
+        out = call(base, "POST", "/v1/segment",
+                   {"query": b64_png(frame), "cache_id": cache["cache_id"]})
+        got = Image.open(io.BytesIO(base64.b64decode(out["masks"][0])))
+        print(f"frame {i}: mask {got.size}, "
+              f"{int((np.asarray(got) > 0).sum())} px on")
+
+    stats = call(base, "GET", "/v1/stats")
+    seg = stats["endpoints"]["segment"]
+    print(f"stats: {stats['queries']} queries, "
+          f"segment p50 {seg['p50_ms']} ms, "
+          f"device {stats['device_s']} s over {stats['device_calls']} calls")
+    httpd.shutdown()
+    httpd.server_close()
+
+
+if __name__ == "__main__":
+    main()

@@ -350,3 +350,102 @@ def test_micro_batching_surfaces_errors(pipe):
     ms.drop_supports(cid)   # ...then the cache disappears
     [t.join() for t in threads]
     assert errors == [404, 404]
+
+
+def test_stats_endpoint(server):
+    """/v1/stats reflects request counts, errors, and device accounting."""
+    base, ms = server
+    _call(base, "GET", "/healthz")
+    status, err = _call(base, "POST", "/v1/segment", {})  # 400: no query
+    assert status == 400
+    _call(base, "POST", "/v1/segment", {
+        "query": _b64_png(_rgb(90)), "supports": [_b64_png(_rgb(91))],
+        "masks": [_b64_png(_mask(92))]})
+
+    status, stats = _call(base, "GET", "/v1/stats")
+    assert status == 200
+    eps = stats["endpoints"]
+    assert eps["healthz"]["count"] >= 1 and eps["healthz"]["errors"] == 0
+    seg = eps["segment"]
+    assert seg["count"] >= 2 and seg["errors"] >= 1
+    assert seg["p50_ms"] <= seg["p99_ms"]
+    assert 0 < seg["mean_ms"]
+    assert stats["queries"] >= 1
+    assert stats["device_calls"] >= 1 and stats["device_s"] > 0
+    assert stats["uptime_s"] > 0
+
+
+def test_data_parallel_serving_matches_unsharded(pipe):
+    """A ('data',) mesh server returns the same masks as the unsharded one
+    (the multi-chip serving configuration: --num_data_shards)."""
+    from diffews_tpu.parallel.mesh import make_mesh
+
+    ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
+    bundle = C.PipelineBundle(
+        jax.jit(lambda r: unet.init_params(r, ucfg))(jax.random.PRNGKey(0)), ucfg,
+        jax.jit(lambda r: vae.init_params(r, vcfg))(jax.random.PRNGKey(1)), vcfg,
+        None, CLIPTextConfig.tiny(), SchedulerConfig.diffews(),
+    )
+    dp_pipe = DiffewsPipeline(bundle, mesh=make_mesh(n_data=2))
+    body = {"query": _b64_png(_rgb(60)), "supports": [_b64_png(_rgb(61))],
+            "masks": [_b64_png(_mask(62))]}
+    ms_dp = serve.ModelServer(pipe=dp_pipe, bsz=2, nshot=2, img_size=S,
+                              r_threshold=0.25, model_desc="tiny-dp")
+    ms_1 = serve.ModelServer(pipe=pipe, bsz=2, nshot=2, img_size=S,
+                             r_threshold=0.25, model_desc="tiny")
+    got, want = ms_dp.segment(dict(body)), ms_1.segment(dict(body))
+    assert got["masks"] == want["masks"]
+    assert "data=2" in ms_dp.healthz()["mesh"]
+
+
+def test_shot_parallel_server_rejects_cache(pipe):
+    """--num_shot_shards serving: one-off episodes work, /v1/supports 400s
+    (the support-KV cache cannot compose with the cross-chip merge)."""
+    from diffews_tpu.parallel.mesh import make_shot_mesh
+
+    ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
+    bundle = C.PipelineBundle(
+        jax.jit(lambda r: unet.init_params(r, ucfg))(jax.random.PRNGKey(0)), ucfg,
+        jax.jit(lambda r: vae.init_params(r, vcfg))(jax.random.PRNGKey(1)), vcfg,
+        None, CLIPTextConfig.tiny(), SchedulerConfig.diffews(),
+    )
+    sp_pipe = DiffewsPipeline(bundle, shot_mesh=make_shot_mesh(2))
+    ms = serve.ModelServer(pipe=sp_pipe, bsz=2, nshot=2, img_size=S,
+                           r_threshold=0.25, model_desc="tiny-sp")
+    with pytest.raises(serve.ServeError) as ei:
+        ms.add_supports({"images": [_b64_png(_rgb(70))],
+                         "masks": [_b64_png(_mask(71))]})
+    assert ei.value.status == 400 and "shot-parallel" in str(ei.value)
+    # one-off episodes at the sharded shot count still serve; the seg
+    # payload matches unsharded within the uint8 round-trip (the
+    # log-sum-exp merge is exact math but not bitwise — same tolerance
+    # as tests/test_shot_parallel.py's pipeline-level checks)
+    body = {"query": _b64_png(_rgb(72)), "return_seg": True,
+            "supports": [_b64_png(_rgb(73)), _b64_png(_rgb(74))],
+            "masks": [_b64_png(_mask(75)), _b64_png(_mask(76))]}
+    out = ms.segment(dict(body))
+    assert out["masks"]
+    ms_1 = serve.ModelServer(pipe=pipe, bsz=2, nshot=2, img_size=S,
+                             r_threshold=0.25, model_desc="tiny")
+    want = ms_1.segment(dict(body))
+
+    def _decode(b64):
+        return np.asarray(
+            Image.open(io.BytesIO(base64.b64decode(b64))), dtype=np.int32)
+
+    np.testing.assert_allclose(_decode(out["seg"][0]),
+                               _decode(want["seg"][0]), atol=1)
+
+
+def test_make_server_mesh_flag_validation():
+    """Divisibility checks fire before any checkpoint is touched."""
+    args = serve.build_parser().parse_args(
+        ["--checkpoint", "/nonexistent", "--bsz", "3",
+         "--num_data_shards", "2"])
+    with pytest.raises(SystemExit):
+        serve.make_server(args)
+    args = serve.build_parser().parse_args(
+        ["--checkpoint", "/nonexistent", "--nshot", "3",
+         "--num_shot_shards", "2"])
+    with pytest.raises(SystemExit):
+        serve.make_server(args)
