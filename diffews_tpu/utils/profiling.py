@@ -41,14 +41,18 @@ class StageTimer:
     @contextlib.contextmanager
     def stage(self, name: str):
         t0 = time.perf_counter()
-        yield
-        if self.sync:
-            try:
-                jax.effects_barrier()
-            except Exception:
-                pass
-        self.totals[name] += time.perf_counter() - t0
-        self.counts[name] += 1
+        try:
+            yield
+        finally:
+            # count the stage even when its body raises — a crashing stage
+            # still spent the time, and losing it skews the breakdown
+            if self.sync:
+                try:
+                    jax.effects_barrier()
+                except Exception:
+                    pass
+            self.totals[name] += time.perf_counter() - t0
+            self.counts[name] += 1
 
     def summary(self) -> str:
         rows = []
