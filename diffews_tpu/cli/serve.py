@@ -15,8 +15,9 @@ Endpoints (JSON bodies; images are base64-encoded PNG/JPEG):
     GET  /v1/stats
         -> request metrics: per-endpoint count/errors/mean/p50/p99 latency
            (percentiles over the last 512 requests), queries served, and
-           the wall time spent holding the device-dispatch lock (the
-           serialized section that bounds throughput)
+           the wall time spent holding the device-dispatch lock (dispatch
+           is async, so this measures enqueue serialization; request
+           latency percentiles capture execution time)
     POST /v1/supports      {"images": [b64, ...], "masks": [b64, ...]}
         -> {"cache_id", "n_shots"}          (precomputes the support K/V)
     DELETE /v1/supports/<cache_id>
@@ -31,8 +32,11 @@ Shape discipline (everything under jit is traced once): queries pad to the
 configured --bsz and results slice back; one-off episode supports pad to
 --nshot with a shot validity mask.  A support cache is captured at its
 request's exact shot count (one compile per distinct count, then cached).
-Device work from concurrent requests serializes on a lock; batch queries
-client-side (up to --bsz per request) for throughput.
+Concurrent requests serialize their device DISPATCH on a lock but wait for
+results outside it, so up to --dispatch_depth device calls pipeline
+(execution overlaps the previous result's host transfer — the depth-2
+overlap that doubled eval throughput, PERF.md); batch queries client-side
+(up to --bsz per request) for throughput.
 
 Serving-artifact mode (`--artifact <dir>` from `cli/export.py`) runs the
 AOT-exported StableHLO program instead of model code: only one-off episodes
@@ -71,8 +75,9 @@ class _Stats:
 
     Keeps a bounded ring of recent latencies per endpoint (percentiles are
     over that window, not all-time) plus all-time counters; `device_s`
-    accumulates wall time spent inside the device-dispatch lock — the
-    serialized section that bounds server throughput.
+    accumulates wall time spent inside the device-dispatch lock (async
+    enqueue — execution itself overlaps across requests up to
+    --dispatch_depth).
     """
 
     WINDOW = 512
@@ -167,7 +172,8 @@ class ModelServer:
 
     def __init__(self, pipe=None, artifact=None, *, bsz: int, nshot: int,
                  img_size: int, r_threshold: float, max_caches: int = 8,
-                 batch_window_ms: float = 0.0, model_desc: str = ""):
+                 batch_window_ms: float = 0.0, dispatch_depth: int = 2,
+                 model_desc: str = ""):
         assert (pipe is None) != (artifact is None)
         self.pipe = pipe
         self.artifact = artifact
@@ -181,6 +187,13 @@ class ModelServer:
         self._caches: OrderedDict[str, object] = OrderedDict()
         self._max_caches = max_caches
         self._lock = threading.Lock()  # device dispatch + cache mutation
+        # Pipelined serving: the lock serializes DISPATCH only; requests
+        # wait for their results outside it, so the device executes request
+        # N while request N-1's output transfers to the host (the same
+        # depth-2 overlap that doubled eval throughput — PERF.md).  The
+        # semaphore bounds in-flight results so queued output buffers can't
+        # accumulate HBM under high client concurrency.
+        self._inflight = threading.BoundedSemaphore(max(1, dispatch_depth))
         # cross-request micro-batching (batch_window_ms > 0): concurrent
         # single-query requests against the same cache coalesce into one
         # padded device call instead of each paying a full padded batch
@@ -203,6 +216,26 @@ class ModelServer:
             # after the lock releases (stats has its own lock); also on the
             # error path — a failing device call still held the lock
             self.stats.add_device(dt)
+
+    def _dispatch_pipelined(self, dispatch):
+        """Run `dispatch` (device-call enqueue) under the lock; return its
+        pending handle.  Pair with `_await` — the semaphore slot acquired
+        here is released there."""
+        self._inflight.acquire()
+        try:
+            with self._device():
+                return dispatch()
+        except BaseException:
+            self._inflight.release()
+            raise
+
+    def _await(self, pend):
+        """Wait for a `_dispatch_pipelined` handle outside the device lock
+        (device execution + host transfer overlap the next dispatch)."""
+        try:
+            return pend.result()
+        finally:
+            self._inflight.release()
 
     # -- request decoding ---------------------------------------------------
 
@@ -346,12 +379,16 @@ class ModelServer:
         if self.batch_window > 0 and q.shape[0] == 1:
             return self._segment_cached_batched(q, cache_id, r_thr, thr)
         qp, n = self._pad_batch(q)
-        with self._device():
+
+        def dispatch():
             cache = self._caches.get(cache_id)
             if cache is None:
                 raise ServeError(404, f"unknown cache_id {cache_id}")
-            out = self.pipe.predict_cached(qp, cache, r_threshold=r_thr,
-                                           threshold=thr)
+            return self.pipe.predict_cached_async(qp, cache,
+                                                  r_threshold=r_thr,
+                                                  threshold=thr)
+
+        out = self._await(self._dispatch_pipelined(dispatch))
         return _slice_out(out, n)
 
     def _segment_cached_batched(self, q, cache_id, r_thr, thr):
@@ -377,12 +414,18 @@ class ModelServer:
                     chunk = batch[i:i + self.bsz]
                     qp, n = self._pad_batch(
                         np.concatenate([it.q for it in chunk]))
-                    with self._device():
+
+                    def dispatch(qp=qp):
                         cache = self._caches.get(cache_id)
                         if cache is None:
                             raise ServeError(
                                 404, f"unknown cache_id {cache_id}")
-                        out = self.pipe.predict_cached(qp, cache)
+                        return self.pipe.predict_cached_async(qp, cache)
+
+                    # dispatch under the lock, wait outside it: while this
+                    # batch executes/transfers, the next window's leader
+                    # (or a one-off request) dispatches behind it
+                    out = self._await(self._dispatch_pipelined(dispatch))
                     for j, it in enumerate(chunk):
                         it.seg = out.seg_colored[j:j + 1]
                         it.event.set()
@@ -418,7 +461,8 @@ class ModelServer:
             shot_mask[:, :ns] = True
         supb = np.broadcast_to(sup[None], (self.bsz,) + sup.shape)
         mskb = np.broadcast_to(msk[None], (self.bsz,) + msk.shape)
-        with self._device():
+
+        def dispatch():
             if self.artifact is not None:
                 # the exported program's signature is frozen at uint8
                 # {0,1} masks (serving.export_predict specs)
@@ -426,10 +470,12 @@ class ModelServer:
                                     shot_mask)
                 from diffews_tpu.pipeline import PendingSeg
 
-                out = PendingSeg(img, r_thr, thr).result()
-            else:
-                out = self.pipe.predict(qp, supb, mskb, shot_mask=shot_mask,
-                                        r_threshold=r_thr, threshold=thr)
+                return PendingSeg(img, r_thr, thr)
+            return self.pipe.predict_async(qp, supb, mskb,
+                                           shot_mask=shot_mask,
+                                           r_threshold=r_thr, threshold=thr)
+
+        out = self._await(self._dispatch_pipelined(dispatch))
         return _slice_out(out, n)
 
 
@@ -545,6 +591,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(0 = off); adds up to this much latency per "
                         "request, multiplies throughput up to --bsz under "
                         "concurrent load")
+    p.add_argument("--dispatch_depth", type=int, default=2,
+                   help="in-flight device results; dispatch serializes on "
+                        "the lock but requests wait outside it, so the "
+                        "device executes request N while N-1's output "
+                        "transfers (depth 2 doubled eval throughput — "
+                        "PERF.md); bounds queued-output HBM under load")
     p.add_argument("--num_data_shards", type=int, default=1,
                    help="shard the server batch over this many chips "
                         "(('data',) mesh; --bsz must divide evenly)")
@@ -585,7 +637,8 @@ def make_server(args) -> ModelServer:
             artifact=mod, bsz=mod.manifest["bsz"],
             nshot=mod.manifest["nshot"],
             img_size=mod.manifest.get("img_size", args.img_size),
-            r_threshold=args.r_threshold, model_desc=args.artifact)
+            r_threshold=args.r_threshold,
+            dispatch_depth=args.dispatch_depth, model_desc=args.artifact)
     import jax.numpy as jnp
 
     from diffews_tpu.pipeline import DiffewsPipeline
@@ -621,6 +674,7 @@ def make_server(args) -> ModelServer:
                        img_size=args.img_size, r_threshold=args.r_threshold,
                        max_caches=args.max_caches,
                        batch_window_ms=args.batch_window_ms,
+                       dispatch_depth=args.dispatch_depth,
                        model_desc=args.checkpoint)
 
 

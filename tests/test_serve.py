@@ -288,13 +288,13 @@ def test_micro_batching_coalesces_concurrent_requests(pipe):
     cid_d = direct.add_supports(body)["cache_id"]
 
     calls = []
-    real = pipe.predict_cached
+    real = pipe.predict_cached_async  # both serve paths dispatch async
 
     def counting(*a, **kw):
         calls.append(1)
         return real(*a, **kw)
 
-    pipe.predict_cached = counting
+    pipe.predict_cached_async = counting
     try:
         queries = [_rgb(70 + i) for i in range(4)]
         thresholds = [{"r_threshold": 0.25}, {"r_threshold": 0.5},
@@ -324,7 +324,7 @@ def test_micro_batching_coalesces_concurrent_requests(pipe):
             assert results[i]["masks"] == want["masks"]
         assert len(calls) == n_batched_calls + 4  # direct made 4 calls
     finally:
-        pipe.predict_cached = real
+        pipe.predict_cached_async = real
 
 
 def test_micro_batching_surfaces_errors(pipe):
@@ -449,3 +449,47 @@ def test_make_server_mesh_flag_validation():
          "--num_shot_shards", "2"])
     with pytest.raises(SystemExit):
         serve.make_server(args)
+
+
+def test_pipelined_dispatch_depth1_no_deadlock_and_slot_release(pipe):
+    """The in-flight semaphore: a failing dispatch releases its slot, and
+    depth 1 under concurrent cached + one-off + micro-batched requests
+    still completes every request (a leaked slot or a leader holding a
+    slot while blocking would hang the server)."""
+    ms = serve.ModelServer(pipe=pipe, bsz=2, nshot=2, img_size=S,
+                           r_threshold=0.25, batch_window_ms=20.0,
+                           dispatch_depth=1, model_desc="tiny-d1")
+    # failing dispatches (unknown cache) must release their slot
+    for _ in range(3):
+        with pytest.raises(serve.ServeError):
+            ms.segment({"query": _b64_png(_rgb(80)), "cache_id": "nope"})
+    cid = ms.add_supports({"images": [_b64_png(_rgb(81))],
+                           "masks": [_b64_png(_mask(82))]})["cache_id"]
+    results, errors = [], []
+
+    def cached(k):
+        try:
+            results.append(ms.segment(
+                {"query": _b64_png(_rgb(83 + k)), "cache_id": cid}))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def oneoff(k):
+        try:
+            results.append(ms.segment(
+                {"query": _b64_png(_rgb(90 + k)),
+                 "supports": [_b64_png(_rgb(91 + k))],
+                 "masks": [_b64_png(_mask(92 + k))]}))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=cached, args=(k,)) for k in range(4)]
+    threads += [threading.Thread(target=oneoff, args=(k,)) for k in range(2)]
+    [t.start() for t in threads]
+    [t.join(timeout=300) for t in threads]
+    assert not any(t.is_alive() for t in threads), "server deadlocked"
+    assert not errors, errors
+    assert len(results) == 6 and all(r["masks"] for r in results)
+    # every slot returned: one more request goes straight through
+    out = ms.segment({"query": _b64_png(_rgb(99)), "cache_id": cid})
+    assert out["masks"]
