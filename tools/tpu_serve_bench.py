@@ -112,6 +112,15 @@ def main():
           f"(clients={clients} reqs={reqs} window_ms={window} bsz={b}, "
           f"wall {wall:.1f}s)")
 
+    with urllib.request.urlopen(base + "/v1/stats", timeout=60) as r:
+        stats = json.loads(r.read())
+    seg = stats["endpoints"].get("segment", {})
+    print(f"stats: segment p50={seg.get('p50_ms')}ms p99={seg.get('p99_ms')}ms "
+          f"mean={seg.get('mean_ms')}ms count={seg.get('count')} "
+          f"device_s={stats['device_s']} of uptime {stats['uptime_s']}s "
+          f"({100 * stats['device_s'] / stats['uptime_s']:.0f}% device-lock "
+          f"occupancy)")
+
     # raw device ceiling for the same cache (bench.py methodology)
     cache = ms._caches[cid]
     qd = jnp.asarray(rng.integers(0, 256, (b, s, s, 3)), jnp.uint8)
