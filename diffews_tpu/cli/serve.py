@@ -49,10 +49,11 @@ import argparse
 import base64
 import io
 import json
+import math
 import threading
 import time
 import uuid
-from collections import OrderedDict
+from collections import OrderedDict, deque
 from contextlib import contextmanager
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Tuple
@@ -85,21 +86,19 @@ class _Stats:
     def __init__(self):
         self._lock = threading.Lock()
         self._t0 = time.monotonic()
-        self._ep: dict = {}  # name -> [count, errors, total_s, ring list]
+        self._ep: dict = {}  # name -> [count, errors, total_s, ring deque]
         self.queries = 0     # query images served (segment successes)
         self.device_s = 0.0  # wall time holding the device-dispatch lock
         self.device_calls = 0
 
     def record(self, name: str, seconds: float, error: bool) -> None:
         with self._lock:
-            e = self._ep.setdefault(name, [0, 0, 0.0, []])
+            e = self._ep.setdefault(
+                name, [0, 0, 0.0, deque(maxlen=self.WINDOW)])
             e[0] += 1
             e[1] += int(error)
             e[2] += seconds
-            ring = e[3]
-            ring.append(seconds)
-            if len(ring) > self.WINDOW:
-                del ring[: len(ring) - self.WINDOW]
+            e[3].append(seconds)
 
     def add_queries(self, n: int) -> None:
         with self._lock:
@@ -120,8 +119,10 @@ class _Stats:
                     "errors": errors,
                     "mean_ms": round(total / count * 1e3, 3),
                     "p50_ms": round(lat[len(lat) // 2] * 1e3, 3),
-                    "p99_ms": round(lat[max(0, int(len(lat) * 0.99) - 1)]
-                                    * 1e3, 3),
+                    # nearest-rank percentile: ceil(q*n)-1 (int(q*n)-1
+                    # underestimates by a rank and inverts vs p50 at n=2)
+                    "p99_ms": round(
+                        lat[max(0, math.ceil(len(lat) * 0.99) - 1)] * 1e3, 3),
                 }
             return {
                 "uptime_s": round(time.monotonic() - self._t0, 3),
@@ -299,12 +300,23 @@ class ModelServer:
         sup, _ = self._decode_images(images)
         msk = self._decode_masks(masks)
         cache_id = uuid.uuid4().hex[:12]
-        with self._device():
+        with self._device():  # device work: VAE encodes + support UNet pass
             cache = self.pipe.precompute_supports(sup[None], msk[None])
+        with self._lock:  # host-only cache mutation — not device time
             self._caches[cache_id] = cache
             while len(self._caches) > self._max_caches:
                 self._caches.popitem(last=False)  # FIFO eviction
         return {"cache_id": cache_id, "n_shots": len(images)}
+
+    def _get_cache(self, cache_id: str):
+        """Host-only cache lookup (doesn't count as a device call).  An
+        eviction racing an in-flight dispatch is safe: JAX keeps the
+        cache's device buffers alive until the dispatched call drains."""
+        with self._lock:
+            cache = self._caches.get(cache_id)
+        if cache is None:
+            raise ServeError(404, f"unknown cache_id {cache_id}")
+        return cache
 
     def drop_supports(self, cache_id: str) -> dict:
         with self._lock:
@@ -379,16 +391,11 @@ class ModelServer:
         if self.batch_window > 0 and q.shape[0] == 1:
             return self._segment_cached_batched(q, cache_id, r_thr, thr)
         qp, n = self._pad_batch(q)
-
-        def dispatch():
-            cache = self._caches.get(cache_id)
-            if cache is None:
-                raise ServeError(404, f"unknown cache_id {cache_id}")
-            return self.pipe.predict_cached_async(qp, cache,
-                                                  r_threshold=r_thr,
-                                                  threshold=thr)
-
-        out = self._await(self._dispatch_pipelined(dispatch))
+        cache = self._get_cache(cache_id)
+        out = self._await(self._dispatch_pipelined(
+            lambda: self.pipe.predict_cached_async(qp, cache,
+                                                   r_threshold=r_thr,
+                                                   threshold=thr)))
         return _slice_out(out, n)
 
     def _segment_cached_batched(self, q, cache_id, r_thr, thr):
@@ -414,18 +421,13 @@ class ModelServer:
                     chunk = batch[i:i + self.bsz]
                     qp, n = self._pad_batch(
                         np.concatenate([it.q for it in chunk]))
-
-                    def dispatch(qp=qp):
-                        cache = self._caches.get(cache_id)
-                        if cache is None:
-                            raise ServeError(
-                                404, f"unknown cache_id {cache_id}")
-                        return self.pipe.predict_cached_async(qp, cache)
-
+                    cache = self._get_cache(cache_id)
                     # dispatch under the lock, wait outside it: while this
                     # batch executes/transfers, the next window's leader
                     # (or a one-off request) dispatches behind it
-                    out = self._await(self._dispatch_pipelined(dispatch))
+                    out = self._await(self._dispatch_pipelined(
+                        lambda qp=qp, cache=cache:
+                            self.pipe.predict_cached_async(qp, cache)))
                     for j, it in enumerate(chunk):
                         it.seg = out.seg_colored[j:j + 1]
                         it.event.set()
@@ -505,13 +507,21 @@ def make_handler(server: ModelServer):
             t0 = time.monotonic()
             ok = False
             try:
-                resp = fn(*args)
-                ok = True
-                self._send(200, resp)
-            except ServeError as e:
-                self._send(e.status, {"error": str(e)})
-            except Exception as e:  # surface, don't kill the thread
-                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+                try:
+                    resp = fn(*args)
+                except ServeError as e:
+                    self._send(e.status, {"error": str(e)})
+                except Exception as e:  # surface, don't kill the thread
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+                else:
+                    self._send(200, resp)
+                    ok = True  # only after the response is fully written
+            except Exception:
+                # the client hung up mid-write: a half-written response
+                # can't carry a second status line — just account the
+                # error (stats would otherwise undercount exactly the
+                # timeout/disconnect failures an operator wants to see)
+                pass
             finally:
                 server.stats.record(name, time.monotonic() - t0, not ok)
 

@@ -616,14 +616,29 @@ class DiffewsPipeline:
             raise ValueError(
                 f"support_masks must be 4-D {{0,1}} or 5-D 3-channel [-1,1]; "
                 f"got shape {support_masks.shape}")
+        sup_j = jnp.asarray(supports)
+        msk_j = jnp.asarray(support_masks)
+        sm_j = None if shot_mask is None else jnp.asarray(shot_mask)
+        if self.mesh is not None:
+            # Commit the capture inputs to the episode-data mesh so the
+            # cache entries GSPMD-propagate the same layout predict_cached
+            # uses: a batch-1 (broadcast) cache replicates over the chips,
+            # a batch-B cache shards row-for-row with the query batch.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = P("data") if supports.shape[0] > 1 else P()
+            sh = NamedSharding(self.mesh, spec)
+            sup_j, msk_j = jax.device_put(sup_j, sh), jax.device_put(msk_j, sh)
+            if sm_j is not None:
+                sm_j = jax.device_put(sm_j, sh)
         entries = self._capture_jit(
             self.unet_params, self.vae_params,
-            jnp.asarray(supports), jnp.asarray(support_masks),
+            sup_j, msk_j,
             self.empty_text_embed,
         )
         return SupportCache(
             entries=entries,
-            shot_mask=None if shot_mask is None else jnp.asarray(shot_mask),
+            shot_mask=sm_j,
             n_shots=supports.shape[1],
             batch=supports.shape[0],
         )
@@ -663,10 +678,15 @@ class DiffewsPipeline:
             raise ValueError(
                 f"cache batch {cache.batch} must be 1 (broadcast) or match "
                 f"the query batch {b}")
+        q_j = jnp.asarray(query)
+        if self._batch_sharding is not None:
+            # shard the query batch over the episode-data mesh (same rule
+            # as predict_async; a batch-1 cache broadcasts to every chip)
+            q_j = jax.device_put(q_j, self._batch_sharding)
         img = self._predict_cached_jit(
             self.unet_params,
             self.vae_params,
-            jnp.asarray(query),
+            q_j,
             cache.entries,
             cache.shot_mask,
             self.empty_text_embed,

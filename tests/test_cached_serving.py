@@ -233,3 +233,49 @@ class TestPipelineCachedServing:
         cache = pipe.precompute_supports(sup, msk)  # batch 2
         with pytest.raises(ValueError, match="cache batch"):
             pipe.predict_cached(q[:1], cache)
+
+
+class TestDataParallelCachedServing:
+    """Cached serving on a ("data",) episode mesh (--num_data_shards): the
+    query batch commits to P("data") and the cache entries propagate the
+    mesh layout, so multi-chip cached serving is an explicit sharding, not
+    whatever GSPMD guesses from uncommitted inputs."""
+
+    def _dp_pipe(self, n_data=2):
+        from diffews_tpu.parallel.mesh import make_mesh
+
+        ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
+        bundle = C.PipelineBundle(
+            jax.jit(lambda r: unet.init_params(r, ucfg))(jax.random.PRNGKey(0)),
+            ucfg,
+            jax.jit(lambda r: vae.init_params(r, vcfg))(jax.random.PRNGKey(1)),
+            vcfg,
+            None, CLIPTextConfig.tiny(), SchedulerConfig.diffews(),
+        )
+        return DiffewsPipeline(bundle, mesh=make_mesh(n_data=n_data))
+
+    def test_broadcast_cache_matches_unsharded(self, pipe):
+        dp = self._dp_pipe()
+        _, sup, msk = _episode(b=1, n=2, seed=7)
+        rng = np.random.default_rng(8)
+        qs = rng.uniform(-1, 1, (4, 32, 32, 3)).astype(np.float32)
+        cache_dp = dp.precompute_supports(sup, msk)
+        cache_1 = pipe.precompute_supports(sup, msk)
+        got = dp.predict_cached(qs, cache_dp, r_threshold=0.25)
+        want = pipe.predict_cached(qs, cache_1, r_threshold=0.25)
+        _assert_uint8_close(got.seg_colored, want.seg_colored)
+        # the query really is committed to the data mesh before dispatch:
+        # the batch-1 cache entries replicate over it
+        sh = jax.tree_util.tree_leaves(cache_dp.entries)[0].sharding
+        assert sh.is_fully_replicated
+
+    def test_rowwise_cache_shards_batch(self, pipe):
+        dp = self._dp_pipe()
+        q, sup, msk = _episode(b=2, n=1, seed=9)
+        cache_dp = dp.precompute_supports(sup, msk)
+        cache_1 = pipe.precompute_supports(sup, msk)
+        got = dp.predict_cached(q, cache_dp, r_threshold=0.25)
+        want = pipe.predict_cached(q, cache_1, r_threshold=0.25)
+        _assert_uint8_close(got.seg_colored, want.seg_colored)
+        sh = jax.tree_util.tree_leaves(cache_dp.entries)[0].sharding
+        assert not sh.is_fully_replicated  # batch dim carries P("data")
