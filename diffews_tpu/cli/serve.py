@@ -9,7 +9,10 @@ the full-episode rate at 1-shot, 2.27x at 5-shot; PERF.md):
 
     python -m diffews_tpu.cli.serve --checkpoint <dir> --port 8710
 
-Endpoints (JSON bodies; images are base64-encoded PNG/JPEG):
+Endpoints (JSON bodies; every image/mask is either a base64-encoded
+PNG/JPEG string or a raw tensor {"raw": b64(uint8 bytes), "shape":
+[H, W, 3]} ([H, W] for masks, nonzero = foreground) — raw skips the
+image codec, the dominant host cost at high request rates):
     GET  /healthz
         -> {"ok", "platform", "caches", "model"}
     GET  /v1/stats
@@ -239,23 +242,63 @@ class ModelServer:
             self._inflight.release()
 
     # -- request decoding ---------------------------------------------------
+    #
+    # Every image/mask entry is either a b64 PNG/JPEG string or a raw
+    # tensor object {"raw": b64(uint8 bytes), "shape": [H, W, 3]} ([H, W]
+    # for masks, nonzero = foreground).  Raw entries skip the image codec
+    # — the dominant host cost at high request rates on few-core hosts
+    # (tools/tpu_serve_bench.py) — at ~2.6x the payload bytes of a PNG.
+
+    @staticmethod
+    def _raw_entry(p: dict, channels) -> np.ndarray:
+        try:
+            buf = base64.b64decode(p["raw"])
+            shape = tuple(int(x) for x in p["shape"])
+        except (KeyError, TypeError, ValueError) as e:
+            raise ServeError(400, f"bad raw tensor entry: {e}")
+        if channels is not None and (len(shape) != 3 or shape[2] != channels):
+            raise ServeError(400, f"raw image shape must be [H, W, "
+                                  f"{channels}]; got {list(shape)}")
+        if channels is None and len(shape) != 2:
+            raise ServeError(400, f"raw mask shape must be [H, W]; "
+                                  f"got {list(shape)}")
+        arr = np.frombuffer(buf, np.uint8)
+        need = int(np.prod(shape))
+        if arr.size != need:
+            raise ServeError(400, f"raw buffer has {arr.size} bytes; "
+                                  f"shape {list(shape)} needs {need}")
+        return arr.reshape(shape)
 
     def _decode_images(self, payloads: List[str]) -> Tuple[np.ndarray, list]:
-        """b64 -> (N, S, S, 3) uint8 + original (w, h) sizes."""
+        """entries -> (N, S, S, 3) uint8 + original (w, h) sizes."""
         imgs, sizes = [], []
         for p in payloads:
-            im = _b64_to_pil(p)
-            sizes.append(im.size)
-            imgs.append(self._tf(im))  # PIL-bilinear resize, uint8 HWC
+            if isinstance(p, dict):
+                arr = self._raw_entry(p, 3)
+                h, w = arr.shape[:2]
+                sizes.append((w, h))
+                if (h, w) != (self.img_size, self.img_size):
+                    # same bilinear semantics as the codec path
+                    arr = np.asarray(Image.fromarray(arr).resize(
+                        (self.img_size, self.img_size), Image.BILINEAR))
+                imgs.append(arr)
+            else:
+                im = _b64_to_pil(p)
+                sizes.append(im.size)
+                imgs.append(self._tf(im))  # PIL-bilinear resize, uint8 HWC
         return np.stack(imgs), sizes
 
     def _decode_masks(self, payloads: List[str]) -> np.ndarray:
-        """b64 -> (N, S, S) {0,1} float32 (>=128 foreground, the FSS-1000
-        rule `fss.py:77-81`; resize keeps torch-nearest index semantics)."""
+        """entries -> (N, S, S) {0,1} float32 (codec path: >=128 foreground,
+        the FSS-1000 rule `fss.py:77-81`; raw path: nonzero foreground;
+        resize keeps torch-nearest index semantics)."""
         out = []
         for p in payloads:
-            m = np.asarray(_b64_to_pil(p).convert("L"))
-            m = (m >= 128).astype(np.float32)
+            if isinstance(p, dict):
+                m = (self._raw_entry(p, None) > 0).astype(np.float32)
+            else:
+                m = np.asarray(_b64_to_pil(p).convert("L"))
+                m = (m >= 128).astype(np.float32)
             out.append(nearest_resize_mask(m, (self.img_size, self.img_size)))
         return np.stack(out)
 

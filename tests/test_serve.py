@@ -493,3 +493,58 @@ def test_pipelined_dispatch_depth1_no_deadlock_and_slot_release(pipe):
     # every slot returned: one more request goes straight through
     out = ms.segment({"query": _b64_png(_rgb(99)), "cache_id": cid})
     assert out["masks"]
+
+
+def _raw_entry(arr: np.ndarray) -> dict:
+    return {"raw": base64.b64encode(np.ascontiguousarray(arr).tobytes())
+            .decode("ascii"), "shape": list(arr.shape)}
+
+
+def test_raw_tensor_ingestion_matches_png(server):
+    """Raw uint8 tensor entries (codec-free ingestion) produce the same
+    masks as the identical images sent as PNG, for one-off episodes and
+    the support-cache path; malformed raw entries 400."""
+    base, ms = server
+    q, sup = _rgb(120), _rgb(121)
+    msk = _mask(122)
+    png_body = {"query": _b64_png(q), "supports": [_b64_png(sup)],
+                "masks": [_b64_png(msk)]}
+    raw_body = {"query": _raw_entry(q), "supports": [_raw_entry(sup)],
+                "masks": [_raw_entry((msk >= 128).astype(np.uint8))]}
+    s_png, want = _call(base, "POST", "/v1/segment", png_body)
+    s_raw, got = _call(base, "POST", "/v1/segment", raw_body)
+    assert s_png == 200 and s_raw == 200
+    assert got["masks"] == want["masks"]
+
+    # supports registered raw serve queries identically to PNG supports
+    s1, c_png = _call(base, "POST", "/v1/supports",
+                      {"images": [_b64_png(sup)], "masks": [_b64_png(msk)]})
+    s2, c_raw = _call(base, "POST", "/v1/supports",
+                      {"images": [_raw_entry(sup)],
+                       "masks": [_raw_entry((msk >= 128).astype(np.uint8))]})
+    assert s1 == 200 and s2 == 200
+    _, m_png = _call(base, "POST", "/v1/segment",
+                     {"query": _b64_png(q), "cache_id": c_png["cache_id"]})
+    _, m_raw = _call(base, "POST", "/v1/segment",
+                     {"query": _raw_entry(q), "cache_id": c_raw["cache_id"]})
+    assert m_raw["masks"] == m_png["masks"]
+
+    # raw masks accept 0/255 too (nonzero = foreground)
+    s3, got255 = _call(base, "POST", "/v1/segment",
+                       {**raw_body, "masks": [_raw_entry(msk)]})
+    assert s3 == 200 and got255["masks"] == want["masks"]
+
+
+def test_raw_tensor_validation(server):
+    base, _ = server
+    good_q = _raw_entry(_rgb(123))
+    for bad in [
+        {"raw": "aGk=", "shape": [40, 48, 3]},       # byte-count mismatch
+        {"raw": "aGk=", "shape": [40, 48]},          # image must be HW3
+        {"shape": [40, 48, 3]},                      # missing raw
+        {"raw": "!!!", "shape": [2, 2, 3]},          # undecodable b64
+    ]:
+        status, body = _call(base, "POST", "/v1/segment",
+                             {"query": bad, "supports": [good_q],
+                              "masks": [_raw_entry(_mask(124)[:, :] // 255)]})
+        assert status == 400, body
