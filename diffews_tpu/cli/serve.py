@@ -29,7 +29,10 @@ image codec, the dominant host cost at high request rates):
                             "supports": [...], "masks": [...],  # one-off
                             "r_threshold": 0.25}     # optional overrides
         -> {"masks": [b64 gray PNG 0/255, ...]}  at each query's original
-           size (+ "seg": [b64 RGB PNG] when "return_seg" is true)
+           size (+ "seg": [b64 RGB PNG] when "return_seg" is true);
+           "encoding": "raw" in the body switches the response to raw
+           tensor objects {"raw": b64(uint8 bytes), "shape": [...]}
+           (codec-free, symmetric with raw ingestion)
 
 Shape discipline (everything under jit is traced once): queries pad to the
 configured --bsz and results slice back; one-off episode supports pad to
@@ -396,6 +399,17 @@ class ModelServer:
             preds = self._segment_episode(q, sup, msk, r_thr, thr)
         self.stats.add_queries(len(queries))
 
+        enc_raw = body.get("encoding", "png") == "raw"
+        if body.get("encoding", "png") not in ("png", "raw"):
+            raise ServeError(400, "encoding must be 'png' or 'raw'")
+
+        def _enc(arr: np.ndarray):
+            if enc_raw:  # codec-free, symmetric with raw ingestion
+                return {"raw": base64.b64encode(
+                            np.ascontiguousarray(arr).tobytes()).decode(),
+                        "shape": list(arr.shape)}
+            return _png_b64(arr)
+
         resp = {}
         if preds.mask is not None:
             resp["masks"] = []
@@ -405,7 +419,7 @@ class ModelServer:
             if preds.mask is not None:
                 m = preds.mask[i].astype(np.float32)
                 m = nearest_resize_mask(m, (h, w))  # back to query size
-                resp["masks"].append(_png_b64((m * 255).astype(np.uint8)))
+                resp["masks"].append(_enc((m * 255).astype(np.uint8)))
             if body.get("return_seg"):
                 # same geometry as the mask: torch-nearest back to the
                 # query's original size, per channel
@@ -414,7 +428,7 @@ class ModelServer:
                     ih = _nearest_indices(seg.shape[0], h)
                     iw = _nearest_indices(seg.shape[1], w)
                     seg = seg[np.ix_(ih, iw)]
-                resp["seg"].append(_png_b64(seg))
+                resp["seg"].append(_enc(seg))
         return resp
 
     # -- device work (lock-held) ---------------------------------------------

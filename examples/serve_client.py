@@ -89,6 +89,20 @@ def main():
         print(f"frame {i}: mask {got.size}, "
               f"{int((np.asarray(got) > 0).sum())} px on")
 
+    # --- codec-free raw-tensor path (high request rates) -----------------
+    # {"raw": b64(uint8 bytes), "shape": [H, W, 3]} entries skip the PNG
+    # codec on both ends (the dominant host cost at high request rates);
+    # "encoding": "raw" switches the response to the same representation.
+    frame = rng.integers(0, 255, (48, 48, 3), np.uint8)
+    out = call(base, "POST", "/v1/segment",
+               {"query": {"raw": base64.b64encode(frame.tobytes()).decode(),
+                          "shape": list(frame.shape)},
+                "cache_id": cache["cache_id"], "encoding": "raw"})
+    ent = out["masks"][0]
+    m = np.frombuffer(base64.b64decode(ent["raw"]), np.uint8).reshape(
+        ent["shape"])
+    print(f"raw frame: mask {m.shape}, {int((m > 0).sum())} px on")
+
     stats = call(base, "GET", "/v1/stats")
     seg = stats["endpoints"]["segment"]
     print(f"stats: {stats['queries']} queries, "

@@ -535,6 +535,28 @@ def test_raw_tensor_ingestion_matches_png(server):
     assert s3 == 200 and got255["masks"] == want["masks"]
 
 
+def test_raw_response_encoding_matches_png(server):
+    """encoding=raw returns masks/seg as raw tensor objects whose pixels
+    equal the decoded PNG response; unknown encodings 400."""
+    base, _ = server
+    body = {"query": _b64_png(_rgb(130)), "supports": [_b64_png(_rgb(131))],
+            "masks": [_b64_png(_mask(132))], "return_seg": True}
+    s1, png_resp = _call(base, "POST", "/v1/segment", body)
+    s2, raw_resp = _call(base, "POST", "/v1/segment",
+                         {**body, "encoding": "raw"})
+    assert s1 == 200 and s2 == 200
+    for key in ("masks", "seg"):
+        want = np.asarray(Image.open(io.BytesIO(
+            base64.b64decode(png_resp[key][0]))))
+        ent = raw_resp[key][0]
+        got = np.frombuffer(base64.b64decode(ent["raw"]), np.uint8).reshape(
+            ent["shape"])
+        assert np.array_equal(got, want), key
+
+    s3, err = _call(base, "POST", "/v1/segment", {**body, "encoding": "jpg"})
+    assert s3 == 400, err
+
+
 def test_raw_tensor_validation(server):
     base, _ = server
     good_q = _raw_entry(_rgb(123))

@@ -7,7 +7,12 @@ interest is --window_ms 0 (every single-query request pays a full padded
 batch) vs a small window (concurrent requests coalesce into one call).
 
 Usage: python tools/tpu_serve_bench.py [--bsz 8] [--window_ms 30]
-           [--clients 16] [--reqs 6] [--tiny]
+           [--clients 16] [--reqs 6] [--raw] [--tiny]
+
+--raw sends queries as raw uint8 tensor entries ({"raw": b64(bytes),
+"shape": [H, W, 3]}) instead of base64 PNGs — the A/B for codec-free
+ingestion (skips server-side PNG decode, the dominant host cost at high
+request rates on few-core hosts, at ~2.6x the payload bytes).
 """
 
 import base64
@@ -71,6 +76,12 @@ def main():
         Image.fromarray(arr).save(buf, format="PNG")
         return base64.b64encode(buf.getvalue()).decode()
 
+    def raw(arr):
+        return {"raw": base64.b64encode(np.ascontiguousarray(arr).tobytes())
+                .decode("ascii"), "shape": list(arr.shape)}
+
+    enc = raw if "--raw" in sys.argv else png
+
     def post(path, body):
         req = urllib.request.Request(base + path, json.dumps(body).encode(),
                                      method="POST")
@@ -81,7 +92,7 @@ def main():
     sup = png(rng.integers(0, 256, (s, s, 3), np.uint8))
     msk = png(((rng.random((s, s)) > 0.5) * 255).astype(np.uint8))
     cid = post("/v1/supports", {"images": [sup], "masks": [msk]})["cache_id"]
-    payloads = [png(rng.integers(0, 256, (s, s, 3), np.uint8))
+    payloads = [enc(rng.integers(0, 256, (s, s, 3), np.uint8))
                 for _ in range(4)]
 
     t0 = time.perf_counter()
@@ -91,11 +102,13 @@ def main():
     done = []
     errs = []
 
+    enc_opt = {"encoding": "raw"} if "--raw" in sys.argv else {}
+
     def client(k):
         for i in range(reqs):
             try:
                 post("/v1/segment", {"query": payloads[(k + i) % 4],
-                                     "cache_id": cid})
+                                     "cache_id": cid, **enc_opt})
                 done.append(1)
             except Exception as e:  # noqa: BLE001
                 errs.append(e)
@@ -109,8 +122,8 @@ def main():
     if errs:
         print(f"ERRORS: {len(errs)}, first: {errs[0]}")
     print(f"serve_http_qps={len(done) / wall:.2f} "
-          f"(clients={clients} reqs={reqs} window_ms={window} bsz={b}, "
-          f"wall {wall:.1f}s)")
+          f"(clients={clients} reqs={reqs} window_ms={window} bsz={b} "
+          f"ingest={'raw' if enc is raw else 'png'}, wall {wall:.1f}s)")
 
     with urllib.request.urlopen(base + "/v1/stats", timeout=60) as r:
         stats = json.loads(r.read())
