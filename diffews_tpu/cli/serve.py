@@ -180,8 +180,9 @@ class ModelServer:
     def __init__(self, pipe=None, artifact=None, *, bsz: int, nshot: int,
                  img_size: int, r_threshold: float, max_caches: int = 8,
                  batch_window_ms: float = 0.0, dispatch_depth: int = 2,
-                 model_desc: str = ""):
+                 max_body_mb: float = 64.0, model_desc: str = ""):
         assert (pipe is None) != (artifact is None)
+        self.max_body_bytes = int(max_body_mb * 1024 * 1024)
         self.pipe = pipe
         self.artifact = artifact
         self.bsz = bsz
@@ -590,6 +591,15 @@ def make_handler(server: ModelServer):
                 n = int(self.headers.get("Content-Length") or 0)
             except ValueError:
                 raise ServeError(400, "bad Content-Length header")
+            if n < 0:
+                raise ServeError(400, "bad Content-Length header")
+            if n > server.max_body_bytes:
+                # reject BEFORE reading: a bogus huge Content-Length must
+                # not allocate (the connection is closed, not drained)
+                self.close_connection = True
+                raise ServeError(
+                    413, f"body {n} bytes > limit {server.max_body_bytes} "
+                         f"(--max_body_mb)")
             raw = self.rfile.read(n) if n else b"{}"
             try:
                 body = json.loads(raw or b"{}")
@@ -664,6 +674,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "device executes request N while N-1's output "
                         "transfers (depth 2 doubled eval throughput — "
                         "PERF.md); bounds queued-output HBM under load")
+    p.add_argument("--max_body_mb", type=float, default=64.0,
+                   help="reject request bodies above this size with 413 "
+                        "before reading them (a bogus Content-Length must "
+                        "not allocate)")
     p.add_argument("--num_data_shards", type=int, default=1,
                    help="shard the server batch over this many chips "
                         "(('data',) mesh; --bsz must divide evenly)")
@@ -705,7 +719,8 @@ def make_server(args) -> ModelServer:
             nshot=mod.manifest["nshot"],
             img_size=mod.manifest.get("img_size", args.img_size),
             r_threshold=args.r_threshold,
-            dispatch_depth=args.dispatch_depth, model_desc=args.artifact)
+            dispatch_depth=args.dispatch_depth,
+            max_body_mb=args.max_body_mb, model_desc=args.artifact)
     import jax.numpy as jnp
 
     from diffews_tpu.pipeline import DiffewsPipeline
@@ -742,6 +757,7 @@ def make_server(args) -> ModelServer:
                        max_caches=args.max_caches,
                        batch_window_ms=args.batch_window_ms,
                        dispatch_depth=args.dispatch_depth,
+                       max_body_mb=args.max_body_mb,
                        model_desc=args.checkpoint)
 
 

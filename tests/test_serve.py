@@ -535,6 +535,44 @@ def test_raw_tensor_ingestion_matches_png(server):
     assert s3 == 200 and got255["masks"] == want["masks"]
 
 
+def test_body_size_limit_and_bad_content_length(server):
+    """Bodies above --max_body_mb 413 BEFORE being read; negative
+    Content-Length 400s instead of read(-1)-blocking until EOF."""
+    import http.client
+
+    base, ms = server
+    host = base[len("http://"):]
+    old = ms.max_body_bytes
+    ms.max_body_bytes = 100
+    try:
+        # oversize declared length: rejected from the header alone (the
+        # connection closes unread, so only claim 1 MB, never send it)
+        conn = http.client.HTTPConnection(host, timeout=60)
+        conn.putrequest("POST", "/v1/segment")
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", str(1 << 20))
+        conn.endheaders()
+        resp = conn.getresponse()
+        body = json.loads(resp.read())
+        assert resp.status == 413, body
+        assert "max_body_mb" in body["error"]
+        conn.close()
+
+        # within the limit still works
+        status, body = _call(base, "POST", "/v1/segment", {"query": []})
+        assert status == 400 and "query" in body["error"]
+    finally:
+        ms.max_body_bytes = old
+
+    conn = http.client.HTTPConnection(host, timeout=60)
+    conn.putrequest("POST", "/v1/segment", skip_accept_encoding=True)
+    conn.putheader("Content-Length", "-5")
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 400
+    conn.close()
+
+
 def test_raw_response_encoding_matches_png(server):
     """encoding=raw returns masks/seg as raw tensor objects whose pixels
     equal the decoded PNG response; unknown encodings 400."""

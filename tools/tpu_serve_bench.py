@@ -7,12 +7,14 @@ interest is --window_ms 0 (every single-query request pays a full padded
 batch) vs a small window (concurrent requests coalesce into one call).
 
 Usage: python tools/tpu_serve_bench.py [--bsz 8] [--window_ms 30]
-           [--clients 16] [--reqs 6] [--raw] [--tiny]
+           [--clients 16] [--reqs 6] [--raw | --ab] [--tiny]
 
 --raw sends queries as raw uint8 tensor entries ({"raw": b64(bytes),
-"shape": [H, W, 3]}) instead of base64 PNGs — the A/B for codec-free
-ingestion (skips server-side PNG decode, the dominant host cost at high
-request rates on few-core hosts, at ~2.6x the payload bytes).
+"shape": [H, W, 3]}) and requests raw responses instead of base64 PNGs
+both ways — the A/B for codec-free serving I/O (skips the PNG codec,
+the dominant host cost at high request rates on few-core hosts, at
+~2.6x the payload bytes).  --ab runs png/raw/png in ONE process (one
+compile, same chip state) — the only A/B worth trusting on the tunnel.
 """
 
 import base64
@@ -80,8 +82,6 @@ def main():
         return {"raw": base64.b64encode(np.ascontiguousarray(arr).tobytes())
                 .decode("ascii"), "shape": list(arr.shape)}
 
-    enc = raw if "--raw" in sys.argv else png
-
     def post(path, body):
         req = urllib.request.Request(base + path, json.dumps(body).encode(),
                                      method="POST")
@@ -92,47 +92,55 @@ def main():
     sup = png(rng.integers(0, 256, (s, s, 3), np.uint8))
     msk = png(((rng.random((s, s)) > 0.5) * 255).astype(np.uint8))
     cid = post("/v1/supports", {"images": [sup], "masks": [msk]})["cache_id"]
-    payloads = [enc(rng.integers(0, 256, (s, s, 3), np.uint8))
-                for _ in range(4)]
+    frames = [rng.integers(0, 256, (s, s, 3), np.uint8) for _ in range(4)]
 
     t0 = time.perf_counter()
-    post("/v1/segment", {"query": payloads[0], "cache_id": cid})
+    post("/v1/segment", {"query": png(frames[0]), "cache_id": cid})
     print(f"warmup (compile): {time.perf_counter() - t0:.1f}s", flush=True)
 
-    done = []
-    errs = []
+    def sweep(mode):
+        # mode "png": b64-PNG queries + PNG response; "raw": raw tensor
+        # queries + "encoding": "raw" responses (codec-free both ways)
+        payloads = [(raw if mode == "raw" else png)(f) for f in frames]
+        enc_opt = {"encoding": "raw"} if mode == "raw" else {}
+        done, errs = [], []
 
-    enc_opt = {"encoding": "raw"} if "--raw" in sys.argv else {}
+        def client(k):
+            for i in range(reqs):
+                try:
+                    post("/v1/segment", {"query": payloads[(k + i) % 4],
+                                         "cache_id": cid, **enc_opt})
+                    done.append(1)
+                except Exception as e:  # noqa: BLE001
+                    errs.append(e)
 
-    def client(k):
-        for i in range(reqs):
-            try:
-                post("/v1/segment", {"query": payloads[(k + i) % 4],
-                                     "cache_id": cid, **enc_opt})
-                done.append(1)
-            except Exception as e:  # noqa: BLE001
-                errs.append(e)
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=client, args=(k,))
+                   for k in range(clients)]
+        [t.start() for t in threads]
+        [t.join() for t in threads]
+        wall = time.perf_counter() - t0
+        if errs:
+            print(f"ERRORS: {len(errs)}, first: {errs[0]}")
+        print(f"serve_http_qps={len(done) / wall:.2f} "
+              f"(clients={clients} reqs={reqs} window_ms={window} bsz={b} "
+              f"ingest={mode}, wall {wall:.1f}s)", flush=True)
 
-    t0 = time.perf_counter()
-    threads = [threading.Thread(target=client, args=(k,))
-               for k in range(clients)]
-    [t.start() for t in threads]
-    [t.join() for t in threads]
-    wall = time.perf_counter() - t0
-    if errs:
-        print(f"ERRORS: {len(errs)}, first: {errs[0]}")
-    print(f"serve_http_qps={len(done) / wall:.2f} "
-          f"(clients={clients} reqs={reqs} window_ms={window} bsz={b} "
-          f"ingest={'raw' if enc is raw else 'png'}, wall {wall:.1f}s)")
+        with urllib.request.urlopen(base + "/v1/stats", timeout=60) as r:
+            stats = json.loads(r.read())
+        seg = stats["endpoints"].get("segment", {})
+        print(f"stats: segment p50={seg.get('p50_ms')}ms "
+              f"p99={seg.get('p99_ms')}ms "
+              f"mean={seg.get('mean_ms')}ms count={seg.get('count')} "
+              f"device_s={stats['device_s']} of uptime {stats['uptime_s']}s "
+              f"({100 * stats['device_s'] / stats['uptime_s']:.0f}% "
+              f"device-lock occupancy)", flush=True)
 
-    with urllib.request.urlopen(base + "/v1/stats", timeout=60) as r:
-        stats = json.loads(r.read())
-    seg = stats["endpoints"].get("segment", {})
-    print(f"stats: segment p50={seg.get('p50_ms')}ms p99={seg.get('p99_ms')}ms "
-          f"mean={seg.get('mean_ms')}ms count={seg.get('count')} "
-          f"device_s={stats['device_s']} of uptime {stats['uptime_s']}s "
-          f"({100 * stats['device_s'] / stats['uptime_s']:.0f}% device-lock "
-          f"occupancy)")
+    if "--ab" in sys.argv:       # same-process A/B: png then raw then png
+        for mode in ("png", "raw", "png"):
+            sweep(mode)
+    else:
+        sweep("raw" if "--raw" in sys.argv else "png")
 
     # raw device ceiling for the same cache (bench.py methodology)
     cache = ms._caches[cid]
