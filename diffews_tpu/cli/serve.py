@@ -56,6 +56,7 @@ import base64
 import io
 import json
 import math
+import signal
 import threading
 import time
 import uuid
@@ -761,6 +762,12 @@ def make_server(args) -> ModelServer:
                        model_desc=args.checkpoint)
 
 
+class _DrainingHTTPServer(ThreadingHTTPServer):
+    # non-daemon handler threads + block_on_close: server_close() joins
+    # in-flight requests, so a graceful stop finishes the work it accepted
+    daemon_threads = False
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.platform == "cpu":
@@ -768,16 +775,29 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
     server = make_server(args)
-    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
-    print(f"serving on http://{args.host}:{args.port} "
+    httpd = _DrainingHTTPServer((args.host, args.port), make_handler(server))
+    print(f"serving on http://{args.host}:{httpd.server_address[1]} "
           f"({server.healthz()['mode']} mode, bsz {server.bsz}, "
-          f"nshot {server.nshot})")
+          f"nshot {server.nshot})", flush=True)
+
+    # Graceful stop on SIGTERM (the orchestrator stop signal — kubernetes,
+    # systemd, SLURM): stop ACCEPTING, finish in-flight requests, exit 0.
+    # shutdown() must not run on the signal frame (it joins serve_forever's
+    # own loop), so hand it to a thread.
+    def _stop(signum, frame):
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _stop)
+    except ValueError:
+        pass  # not the main thread (tests drive main() directly)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
-        httpd.server_close()
+        httpd.server_close()  # joins in-flight handler threads
+        print("serve: drained and stopped", flush=True)
 
 
 if __name__ == "__main__":

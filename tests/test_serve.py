@@ -608,3 +608,67 @@ def test_raw_tensor_validation(server):
                              {"query": bad, "supports": [good_q],
                               "masks": [_raw_entry(_mask(124)[:, :] // 255)]})
         assert status == 400, body
+
+
+def test_sigterm_graceful_drain(tmp_path):
+    """A real `python -m diffews_tpu.cli.serve` process: SIGTERM mid-request
+    finishes the in-flight work (200 response), then exits 0 after
+    draining (the kubernetes/systemd stop contract)."""
+    import os
+    import signal as sig
+    import subprocess
+    import sys
+    import time as _t
+
+    ck = tmp_path / "ckpt"
+    ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
+    C.save_unet(jax.jit(lambda r: unet.init_params(r, ucfg))(
+        jax.random.PRNGKey(0)), ucfg, str(ck / "unet"))
+    C.save_vae(jax.jit(lambda r: vae.init_params(r, vcfg))(
+        jax.random.PRNGKey(1)), vcfg, str(ck / "vae"))
+    from diffews_tpu.models import clip_text
+    tp = clip_text.init_params(jax.random.PRNGKey(2), CLIPTextConfig.tiny())
+    state = {"text_model." + k: v
+             for k, v in C.pytree_to_torch_state(tp).items()}
+    C.save_torch_weights(state, str(ck / "text_encoder"), C.TEXT_SAFETENSORS)
+    import json as _json
+    with open(ck / "text_encoder" / "config.json", "w") as f:
+        _json.dump({"vocab_size": 1000, "hidden_size": 32,
+                    "intermediate_size": 64, "num_hidden_layers": 2,
+                    "num_attention_heads": 4}, f)
+    (ck / "scheduler").mkdir()
+    with open(ck / "scheduler" / "scheduler_config.json", "w") as f:
+        _json.dump(SchedulerConfig.diffews().to_diffusers_dict(), f)
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "diffews_tpu.cli.serve", "--checkpoint",
+         str(ck), "--platform", "cpu", "--port", "0", "--bsz", "1",
+         "--nshot", "1", "--img-size", str(S)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    try:
+        line = proc.stdout.readline()
+        assert "serving on http://" in line, line
+        base = line.split()[2]
+
+        results = []
+
+        def segment():
+            results.append(_call(base, "POST", "/v1/segment",
+                                 {"query": _b64_png(_rgb(200)),
+                                  "supports": [_b64_png(_rgb(201))],
+                                  "masks": [_b64_png(_mask(202))]}))
+
+        t = threading.Thread(target=segment)
+        t.start()
+        _t.sleep(1.0)  # request in flight (tiny-config compile takes >1 s)
+        proc.send_signal(sig.SIGTERM)
+        t.join(timeout=600)
+        assert results and results[0][0] == 200, results
+        out, _ = proc.communicate(timeout=600)
+        assert proc.returncode == 0, out
+        assert "drained and stopped" in out, out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
