@@ -85,7 +85,9 @@ def main():
     def post(path, body):
         req = urllib.request.Request(base + path, json.dumps(body).encode(),
                                      method="POST")
-        with urllib.request.urlopen(req, timeout=900) as r:
+        # generous: the first request compiles through the tunnel, which
+        # under a degraded relay has been observed to exceed 15 min
+        with urllib.request.urlopen(req, timeout=3600) as r:
             return json.loads(r.read())
 
     rng = np.random.default_rng(0)
