@@ -267,6 +267,11 @@ class ModelServer:
         if channels is None and len(shape) != 2:
             raise ServeError(400, f"raw mask shape must be [H, W]; "
                                   f"got {list(shape)}")
+        if any(d <= 0 for d in shape):
+            # -1s would slip past the np.prod size check and crash reshape
+            # (a 500); 0-size arrays blow up downstream in Image.fromarray
+            raise ServeError(400, f"raw shape dims must be positive; "
+                                  f"got {list(shape)}")
         arr = np.frombuffer(buf, np.uint8)
         need = int(np.prod(shape))
         if arr.size != need:
@@ -385,6 +390,11 @@ class ModelServer:
             raise ServeError(400, "r_threshold and threshold are both 0 — "
                                   "no mask would be produced; set one > 0 "
                                   "or request 'return_seg'")
+        # validate the response encoding BEFORE any device work: a bad
+        # value must not burn a full episode dispatch per rejected request
+        enc_raw = body.get("encoding", "png") == "raw"
+        if body.get("encoding", "png") not in ("png", "raw"):
+            raise ServeError(400, "encoding must be 'png' or 'raw'")
         q, sizes = self._decode_images(queries)
 
         cache_id = body.get("cache_id")
@@ -400,10 +410,6 @@ class ModelServer:
             msk = self._decode_masks(masks)
             preds = self._segment_episode(q, sup, msk, r_thr, thr)
         self.stats.add_queries(len(queries))
-
-        enc_raw = body.get("encoding", "png") == "raw"
-        if body.get("encoding", "png") not in ("png", "raw"):
-            raise ServeError(400, "encoding must be 'png' or 'raw'")
 
         def _enc(arr: np.ndarray):
             if enc_raw:  # codec-free, symmetric with raw ingestion
@@ -550,6 +556,16 @@ def _slice_out(out, n: int):
 def make_handler(server: ModelServer):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        # Socket timeout on every blocking read: without it a keep-alive
+        # client that parks an idle pooled connection leaves its handler
+        # thread blocked in readline() forever — the non-daemon thread
+        # keeps the interpreter alive and server_close()'s drain join
+        # never returns (SIGTERM would end in SIGKILL, not exit 0).  On
+        # timeout BaseHTTPRequestHandler closes the connection, so an
+        # idle connection bounds the drain by this many seconds.  Device
+        # work (compiles, episode dispatch) is not a socket read and is
+        # unaffected.
+        timeout = 10
 
         def log_message(self, fmt, *args):  # quiet by default
             pass
@@ -559,6 +575,11 @@ def make_handler(server: ModelServer):
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if self.close_connection:
+                # e.g. the 413 reject path closes without draining the
+                # body; without this header a conforming keep-alive client
+                # would pool the dead connection and fail its next request
+                self.send_header("Connection", "close")
             self.end_headers()
             self.wfile.write(body)
 

@@ -556,6 +556,9 @@ def test_body_size_limit_and_bad_content_length(server):
         body = json.loads(resp.read())
         assert resp.status == 413, body
         assert "max_body_mb" in body["error"]
+        # the unread body means this connection dies: a keep-alive client
+        # must be told not to pool it
+        assert resp.getheader("Connection") == "close"
         conn.close()
 
         # within the limit still works
@@ -575,8 +578,9 @@ def test_body_size_limit_and_bad_content_length(server):
 
 def test_raw_response_encoding_matches_png(server):
     """encoding=raw returns masks/seg as raw tensor objects whose pixels
-    equal the decoded PNG response; unknown encodings 400."""
-    base, _ = server
+    equal the decoded PNG response; unknown encodings 400 BEFORE any
+    device work runs (no query/device-call accounting)."""
+    base, ms = server
     body = {"query": _b64_png(_rgb(130)), "supports": [_b64_png(_rgb(131))],
             "masks": [_b64_png(_mask(132))], "return_seg": True}
     s1, png_resp = _call(base, "POST", "/v1/segment", body)
@@ -591,8 +595,14 @@ def test_raw_response_encoding_matches_png(server):
             ent["shape"])
         assert np.array_equal(got, want), key
 
+    before = ms.stats_snapshot()
     s3, err = _call(base, "POST", "/v1/segment", {**body, "encoding": "jpg"})
     assert s3 == 400, err
+    after = ms.stats_snapshot()
+    # the rejection must cost nothing: no episode dispatched, no queries
+    # counted (a retrying misconfigured client must not burn device time)
+    assert after["device_calls"] == before["device_calls"]
+    assert after["queries"] == before["queries"]
 
 
 def test_raw_tensor_validation(server):
@@ -603,6 +613,8 @@ def test_raw_tensor_validation(server):
         {"raw": "aGk=", "shape": [40, 48]},          # image must be HW3
         {"shape": [40, 48, 3]},                      # missing raw
         {"raw": "!!!", "shape": [2, 2, 3]},          # undecodable b64
+        {"raw": "aGkh", "shape": [-1, -1, 3]},       # -1 dims pass np.prod
+        {"raw": "", "shape": [0, 0, 3]},             # 0-size reshapes fine
     ]:
         status, body = _call(base, "POST", "/v1/segment",
                              {"query": bad, "supports": [good_q],
@@ -647,8 +659,15 @@ def test_sigterm_graceful_drain(tmp_path):
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     try:
-        line = proc.stdout.readline()
-        assert "serving on http://" in line, line
+        # startup may emit warnings (JAX/absl notices vary by version)
+        # before the banner: scan a bounded number of lines for it
+        line, seen = "", []
+        for _ in range(50):
+            line = proc.stdout.readline()
+            seen.append(line)
+            if not line or "serving on http://" in line:
+                break
+        assert "serving on http://" in line, seen
         base = line.split()[2]
 
         results = []
@@ -662,10 +681,19 @@ def test_sigterm_graceful_drain(tmp_path):
         t = threading.Thread(target=segment)
         t.start()
         _t.sleep(1.0)  # request in flight (tiny-config compile takes >1 s)
+
+        # an idle connection that never sends a request: its handler
+        # thread is parked in readline(); the drain must not join it
+        # forever (the Handler socket timeout bounds it)
+        import socket as _socket
+        host, port = base[len("http://"):].split(":")
+        idle = _socket.create_connection((host, int(port)))
+
         proc.send_signal(sig.SIGTERM)
         t.join(timeout=600)
         assert results and results[0][0] == 200, results
         out, _ = proc.communicate(timeout=600)
+        idle.close()
         assert proc.returncode == 0, out
         assert "drained and stopped" in out, out
     finally:

@@ -105,38 +105,53 @@ def main():
         # queries + "encoding": "raw" responses (codec-free both ways)
         payloads = [(raw if mode == "raw" else png)(f) for f in frames]
         enc_opt = {"encoding": "raw"} if mode == "raw" else {}
-        done, errs = [], []
+        done, errs = [], []  # done holds per-request client-side latencies
 
         def client(k):
             for i in range(reqs):
                 try:
+                    tr = time.perf_counter()
                     post("/v1/segment", {"query": payloads[(k + i) % 4],
                                          "cache_id": cid, **enc_opt})
-                    done.append(1)
+                    done.append(time.perf_counter() - tr)
                 except Exception as e:  # noqa: BLE001
                     errs.append(e)
 
+        def snap():
+            with urllib.request.urlopen(base + "/v1/stats", timeout=60) as r:
+                return json.loads(r.read())
+
+        s0 = snap()
         t0 = time.perf_counter()
         threads = [threading.Thread(target=client, args=(k,))
                    for k in range(clients)]
         [t.start() for t in threads]
         [t.join() for t in threads]
         wall = time.perf_counter() - t0
+        s1 = snap()
         if errs:
             print(f"ERRORS: {len(errs)}, first: {errs[0]}")
         print(f"serve_http_qps={len(done) / wall:.2f} "
               f"(clients={clients} reqs={reqs} window_ms={window} bsz={b} "
               f"ingest={mode}, wall {wall:.1f}s)", flush=True)
 
-        with urllib.request.urlopen(base + "/v1/stats", timeout=60) as r:
-            stats = json.loads(r.read())
-        seg = stats["endpoints"].get("segment", {})
-        print(f"stats: segment p50={seg.get('p50_ms')}ms "
-              f"p99={seg.get('p99_ms')}ms "
-              f"mean={seg.get('mean_ms')}ms count={seg.get('count')} "
-              f"device_s={stats['device_s']} of uptime {stats['uptime_s']}s "
-              f"({100 * stats['device_s'] / stats['uptime_s']:.0f}% "
-              f"device-lock occupancy)", flush=True)
+        # Per-sweep latency from CLIENT-side timings: the server's /v1/stats
+        # ring (512 entries) spans sweeps in --ab mode, so its percentiles
+        # would mix modes.  Counters (count/device_s) are diffed across
+        # snapshots for the same reason.
+        lat = sorted(done)
+        if lat:
+            p50 = lat[(len(lat) - 1) // 2]  # nearest-rank
+            p99 = lat[min(len(lat) - 1, -(-99 * len(lat) // 100) - 1)]
+            dcount = (s1["endpoints"].get("segment", {}).get("count", 0)
+                      - s0["endpoints"].get("segment", {}).get("count", 0))
+            ddev = s1["device_s"] - s0["device_s"]
+            print(f"sweep[{mode}]: client p50={p50*1e3:.0f}ms "
+                  f"p99={p99*1e3:.0f}ms mean={sum(lat)/len(lat)*1e3:.0f}ms "
+                  f"n={len(lat)}; server Δcount={dcount} "
+                  f"Δdevice_s={ddev:.1f} "
+                  f"({100 * ddev / wall:.0f}% device-lock occupancy)",
+                  flush=True)
 
     if "--ab" in sys.argv:       # same-process A/B: png then raw then png
         for mode in ("png", "raw", "png"):
