@@ -9,8 +9,13 @@ reference recomputes the support VAE encodes + support UNet pass per query
 and `predict_cached` serves query-only episodes against it.
 
 Usage: python tools/tpu_cached_serving_bench.py [--nshot N] [--bsz B]
+    [--bszs 8,16] [--modes bf16,int8[,int8u]] [--skip_full]
 Prints q/s for both paths with the bench.py methodology (uint8 ingestion,
 pre-forced uploads, depth-2 pipelined dispatch, best-of-2, host-read sync).
+`--modes`/`--bszs` run a same-session matrix in ONE process (cross-session
+numbers drift with tunnel/chip state — CLAUDE.md): bf16, int8 (W8A8 VAE),
+int8u (int8 VAE + int8 UNet attn/FFN linears).  `--skip_full` measures only
+the cached path (the full-episode baseline is bench.py's headline).
 """
 
 import sys
@@ -52,9 +57,21 @@ def _measure(dispatch, k_batches=6, depth=2):
     return best
 
 
+MODES = {  # mode name -> DiffewsPipeline kwargs
+    "bf16": {},
+    "int8": {"vae_impl": "int8"},
+    "int8u": {"vae_impl": "int8", "unet_int8": True},
+}
+
+
 def main():
     nshot = _arg("--nshot", 1)
-    b = _arg("--bsz", 8)
+    bszs = [int(x) for x in
+            (sys.argv[sys.argv.index("--bszs") + 1].split(",")
+             if "--bszs" in sys.argv else [_arg("--bsz", 8)])]
+    modes = (sys.argv[sys.argv.index("--modes") + 1].split(",")
+             if "--modes" in sys.argv else ["bf16"])
+    skip_full = "--skip_full" in sys.argv
     s = 512
 
     ucfg, vcfg = UNetConfig.sd21(), VAEConfig.sd()
@@ -67,53 +84,80 @@ def main():
     bundle = ckpt_lib.PipelineBundle(
         up, ucfg, vp, vcfg, None, CLIPTextConfig.sd21(),
         SchedulerConfig.diffews())
-    pipe = DiffewsPipeline(bundle, compute_dtype=dt, attn_impl="auto")
-    del up, vp, bundle  # the pipeline holds the cast trees
 
     rng = np.random.default_rng(0)
     sup1 = jnp.asarray(rng.integers(0, 256, (1, nshot, s, s, 3)), jnp.uint8)
     msk1 = jnp.asarray((rng.random((1, nshot, s, s)) > 0.5), jnp.uint8)
-    queries = [jnp.asarray(rng.integers(0, 256, (b, s, s, 3)), jnp.uint8)
-               for _ in range(6)]
-    # full-episode baseline replicates the one support set across the batch
-    supb = jnp.broadcast_to(sup1, (b,) + sup1.shape[1:])
-    mskb = jnp.broadcast_to(msk1, (b,) + msk1.shape[1:])
-    text = pipe.empty_text_embed
-
-    fullf = jax.jit(lambda u, v, q, sp, m, t: pipe._predict_impl(
-        u, v, q, sp, m, t, None, 1).astype(jnp.int32).sum())
-    cachedf = jax.jit(lambda u, v, q, e, t: pipe._predict_cached_impl(
-        u, v, q, e, None, t).astype(jnp.int32).sum())
-
-    # force uploads before timing (lazy h2d pollutes measurements, PERF.md)
-    for a in queries + [supb, mskb]:
+    bmax = max(bszs)
+    qmax = [jnp.asarray(rng.integers(0, 256, (bmax, s, s, 3)), jnp.uint8)
+            for _ in range(6)]
+    for a in qmax + [sup1, msk1]:  # force uploads (lazy h2d pollutes, PERF.md)
         float(a.astype(jnp.float32).sum())
 
-    t0 = time.time()
-    cache = pipe.precompute_supports(sup1, msk1)
-    jax.block_until_ready(cache.entries)
-    nbytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(cache.entries))
-    float(cache.entries[0][0].astype(jnp.float32).sum())  # honest sync
-    print(f"precompute_supports (incl compile): {time.time()-t0:.1f}s, "
-          f"cache {nbytes/1e6:.0f} MB", flush=True)
+    results = {}
+    for mode in modes:
+        pipe = DiffewsPipeline(bundle, compute_dtype=dt, attn_impl="auto",
+                               **MODES[mode])
+        text = pipe.empty_text_embed
+        cachedf = jax.jit(lambda u, v, q, e, t: pipe._predict_cached_impl(
+            u, v, q, e, None, t).astype(jnp.int32).sum())
 
-    t0 = time.time()
-    int(cachedf(pipe.unet_params, pipe.vae_params, queries[0],
-                cache.entries, text))
-    print(f"cached compile+first: {time.time()-t0:.0f}s", flush=True)
-    dt_c = _measure(lambda i: cachedf(
-        pipe.unet_params, pipe.vae_params, queries[i], cache.entries, text))
-    print(f"cached  b{b} {nshot}-shot: {6*b/dt_c:7.2f} q/s "
-          f"({dt_c/6*1e3:.0f} ms/batch)", flush=True)
+        t0 = time.time()
+        cache = pipe.precompute_supports(sup1, msk1)
+        jax.block_until_ready(cache.entries)
+        nbytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(cache.entries))
+        float(cache.entries[0][0].astype(jnp.float32).sum())  # honest sync
+        print(f"[{mode}] precompute_supports (incl compile): "
+              f"{time.time()-t0:.1f}s, cache {nbytes/1e6:.0f} MB", flush=True)
 
-    t0 = time.time()
-    int(fullf(pipe.unet_params, pipe.vae_params, queries[0], supb, mskb, text))
-    print(f"full compile+first: {time.time()-t0:.0f}s", flush=True)
-    dt_f = _measure(lambda i: fullf(
-        pipe.unet_params, pipe.vae_params, queries[i], supb, mskb, text))
-    print(f"full    b{b} {nshot}-shot: {6*b/dt_f:7.2f} q/s "
-          f"({dt_f/6*1e3:.0f} ms/batch)", flush=True)
-    print(f"cached speedup: {dt_f/dt_c:.2f}x", flush=True)
+        def run_bsz(b):
+            queries = [q[:b] for q in qmax]
+            for q in queries:
+                float(q.astype(jnp.float32).sum())  # slices re-upload
+            t0 = time.time()
+            int(cachedf(pipe.unet_params, pipe.vae_params, queries[0],
+                        cache.entries, text))
+            print(f"[{mode}] cached b{b} compile+first: "
+                  f"{time.time()-t0:.0f}s", flush=True)
+            dt_c = _measure(lambda i: cachedf(
+                pipe.unet_params, pipe.vae_params, queries[i], cache.entries,
+                text))
+            results[(mode, b, "cached")] = 6 * b / dt_c
+            print(f"[{mode}] cached  b{b} {nshot}-shot: {6*b/dt_c:7.2f} q/s "
+                  f"({dt_c/6*1e3:.0f} ms/batch)", flush=True)
+
+            if skip_full:
+                return
+            supb = jnp.broadcast_to(sup1, (b,) + sup1.shape[1:])
+            mskb = jnp.broadcast_to(msk1, (b,) + msk1.shape[1:])
+            for a in (supb, mskb):
+                float(a.astype(jnp.float32).sum())
+            fullf = jax.jit(lambda u, v, q, sp, m, t: pipe._predict_impl(
+                u, v, q, sp, m, t, None, 1).astype(jnp.int32).sum())
+            t0 = time.time()
+            int(fullf(pipe.unet_params, pipe.vae_params, queries[0], supb,
+                      mskb, text))
+            print(f"[{mode}] full b{b} compile+first: {time.time()-t0:.0f}s",
+                  flush=True)
+            dt_f = _measure(lambda i: fullf(
+                pipe.unet_params, pipe.vae_params, queries[i], supb, mskb,
+                text))
+            results[(mode, b, "full")] = 6 * b / dt_f
+            print(f"[{mode}] full    b{b} {nshot}-shot: {6*b/dt_f:7.2f} q/s "
+                  f"({dt_f/6*1e3:.0f} ms/batch)  "
+                  f"cached speedup {dt_f/dt_c:.2f}x", flush=True)
+
+        for b in bszs:
+            try:
+                run_bsz(b)
+            except Exception as e:  # keep the rest of the matrix (e.g. OOM)
+                print(f"[{mode}] b{b} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
+        del pipe, cachedf, cache  # free HBM before the next mode's params
+
+    print("--- summary (same-session) ---", flush=True)
+    for (mode, b, kind), qps in sorted(results.items()):
+        print(f"{mode:6s} b{b:<3d} {kind:6s} {qps:7.2f} q/s", flush=True)
 
 
 if __name__ == "__main__":
