@@ -1,13 +1,14 @@
 """Benchmark: query throughput at 1-shot 512px on one TPU chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints staged JSON lines; the LAST stdout line is the authoritative
+{"metric", "value", "unit", "vs_baseline"} record.
 
 Protocol (BASELINE.md): full DiffewS inference per query — VAE-encode of
 query+support+mask, joint support/query SD-2.1 UNet forward with KV-fusion
 attention, degenerate one-step DDIM, VAE decode, uint8 quantization — at
 512px, 1-shot, bf16, batched episodes.  The reference runs the same math on
 an RTX-4090 via torch/xformers with bsz=1 per episode
-(`scripts/eval_coco2014_rthres_1shot_nosample.sh`).
+(`scripts/eval_coco2014_rthres_1shot_nosample.sh:14-30`).
 
 `vs_baseline` divides by REF_4090_QPS, an estimate of the reference's 4090
 query throughput (the repo publishes no numbers — BASELINE.md: "reference
@@ -15,38 +16,233 @@ wall-clock must be measured"; no CUDA hardware exists in this environment,
 so the estimate derives from the per-episode op inventory: 2 UNet forwards
 + 4 VAE encodes + 1 decode at 512px fp16 ~ 200-300 ms on a 4090 => ~4-5
 queries/s; we use 5.0, the generous end).  Target: vs_baseline >= 8.
+
+Robustness contract (round-2 postmortem: BENCH_r02.json was rc=124 with an
+empty tail — the driver's timeout ate a wedged relay / slow remote compile
+and round 2 got NO number):
+  * every stage logs progress to stderr with a timestamp;
+  * a watchdog thread enforces BENCH_DEADLINE_S (default 450 s, safely
+    under any plausible driver timeout given round 1 finished in ~5 min)
+    and force-emits the best measurement so far — or a value-0 diagnostic
+    line — then exits 0, so the driver ALWAYS finds a parsed JSON line;
+  * the relay is probed with a trivial jit first (normally seconds); if it
+    doesn't complete within BENCH_PROBE_DEADLINE_S (default 210 s) the
+    watchdog emits a "relay wedged" diagnostic and exits early instead of
+    burning the rest of the budget;
+  * a preliminary single-batch measurement is emitted the moment the first
+    warm execution finishes, BEFORE the multi-batch upload + chained
+    protocol, so even a late stall leaves a real number in the tail.
+
+Modes (argv): default = headline bf16 b8.  "int8" [+"dynamic"] [+"unet"]
+= opt-in W8A8 A/B (changes eval numerics — ops/quant.py; accuracy dossier
+in PERF.md).  "5shot" = the 5-shot operating point (b8, encode chunked
+4x22) with the same chained methodology.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
+import threading
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 REF_4090_QPS = 5.0  # estimated reference throughput (see module docstring)
+REF_4090_QPS_5SHOT = 2.5  # 5-shot: 6 UNet streams + 12 VAE encodes/episode
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "450"))
+PROBE_DEADLINE_S = float(os.environ.get("BENCH_PROBE_DEADLINE_S", "210"))
+T0 = time.monotonic()
+
+_lock = threading.Lock()
+_state = {
+    "stage": "start",          # advanced by the main thread
+    "probe_done": False,
+    "best": None,              # (qps, tag, batch, ref_qps) best so far
+    "done": False,
+}
 
 
-def main():
-    import sys
+def _log(msg: str) -> None:
+    print(f"[bench +{time.monotonic() - T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
-    from __graft_entry__ import entry
 
-    fn, args = entry()
-    # Honest sync on the axon tunnel: block_until_ready can return before
-    # remote execution finishes; a host read of a scalar reduction cannot.
-    jfn = jax.jit(lambda *a: fn(*a).astype(jnp.int32).sum())
-    unet_params, vae_params = args[0], args[1]
-    tag = "bf16"
-    if "int8" in sys.argv:
+def _stage(name: str) -> None:
+    with _lock:
+        _state["stage"] = name
+    _log(f"stage: {name}")
+
+
+def _emit(qps: float, tag: str, batch: int, ref_qps: float,
+          note: str | None = None) -> None:
+    """Print one JSON measurement line to stdout (the driver parses the
+    tail; the last line printed wins)."""
+    rec = {
+        "metric": f"query images/sec at 1-shot 512px ({tag}, batch {batch},"
+                  " 1 chip)" if "5shot" not in tag else
+                  f"query images/sec at 5-shot 512px ({tag}, batch {batch},"
+                  " 1 chip)",
+        "value": round(qps, 3),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / ref_qps, 3),
+    }
+    if note:
+        rec["note"] = note
+    print(json.dumps(rec), flush=True)
+
+
+def _watchdog() -> None:
+    """Guarantee a parsed JSON line in the driver's tail: on deadline (or a
+    wedged relay probe) emit best-so-far / diagnostic and hard-exit.  The
+    main thread may be blocked inside a remote call that no signal can
+    interrupt, so os._exit is the only reliable escape."""
+    while True:
+        time.sleep(1.0)
+        now = time.monotonic() - T0
+        with _lock:
+            if _state["done"]:
+                return
+            stage = _state["stage"]
+            best = _state["best"]
+            probe_done = _state["probe_done"]
+        if not probe_done and now > PROBE_DEADLINE_S:
+            print(json.dumps({
+                "metric": "query images/sec at 1-shot 512px (bf16, batch 8,"
+                          " 1 chip)",
+                "value": 0.0,
+                "unit": "queries/s",
+                "vs_baseline": 0.0,
+                "error": f"relay wedged: stage '{stage}' incomplete after "
+                         f"{now:.0f}s (trivial-jit probe never finished; "
+                         "axon relay outage — see CLAUDE.md)",
+            }), flush=True)
+            _log(f"WATCHDOG: probe deadline hit in stage '{stage}'; exiting")
+            os._exit(0)
+        if now > DEADLINE_S:
+            if best is not None:
+                qps, tag, batch, ref = best
+                _emit(qps, tag, batch, ref,
+                      note=f"deadline ({DEADLINE_S:.0f}s) hit in stage "
+                           f"'{stage}'; best-so-far emitted by watchdog")
+            else:
+                print(json.dumps({
+                    "metric": "query images/sec at 1-shot 512px (bf16, "
+                              "batch 8, 1 chip)",
+                    "value": 0.0,
+                    "unit": "queries/s",
+                    "vs_baseline": 0.0,
+                    "error": f"no measurement before {DEADLINE_S:.0f}s "
+                             f"deadline; died in stage '{stage}'",
+                }), flush=True)
+            _log(f"WATCHDOG: deadline hit in stage '{stage}'; exiting")
+            os._exit(0)
+
+
+def _record(qps: float, tag: str, batch: int, ref_qps: float) -> None:
+    with _lock:
+        if _state["best"] is None or qps > _state["best"][0]:
+            _state["best"] = (qps, tag, batch, ref_qps)
+
+
+def _build_predict(ucfg, vcfg, encode_chunks: int):
+    """The entry() episode math, parameterized: configs + VAE-encode
+    chunking (encode_chunks=1 == entry()'s flat encode)."""
+    import jax.numpy as jnp
+
+    from diffews_tpu.configs import SchedulerConfig
+    from diffews_tpu.models import unet as unet_mod
+    from diffews_tpu.models import vae as vae_mod
+    from diffews_tpu.scheduler import DDIMScheduler
+
+    sched = DDIMScheduler(SchedulerConfig.diffews())
+    sched.set_timesteps(1)
+
+    def predict(unet_params, vae_params, query, supports, masks, ctx):
+        b, n = supports.shape[0], supports.shape[1]
+        flat = jnp.concatenate(
+            [query, supports.reshape((b * n,) + supports.shape[2:]),
+             masks.reshape((b * n,) + masks.shape[2:])], axis=0)
+        total = flat.shape[0]
+        per = -(-total // encode_chunks)
+        lats = [vae_mod.encode_mean_latent(
+                    vae_params, vcfg, flat[i * per:(i + 1) * per])
+                for i in range(encode_chunks)]
+        lat = lats[0] if encode_chunks == 1 else jnp.concatenate(lats, 0)
+        lh, lw = lat.shape[1:3]
+        q_lat = lat[:b]
+        s_lat = lat[b:b + b * n].reshape(b, n, lh, lw, -1)
+        m_lat = lat[b + b * n:].reshape(b, n, lh, lw, -1)
+        ref = jnp.concatenate([s_lat, m_lat], axis=-1)
+        v = unet_mod.forward(unet_params, ucfg, q_lat, 1, ctx,
+                             ref_sample=ref, attn_impl="auto")
+        x0 = sched.step(v, 1, q_lat).pred_original_sample
+        img = vae_mod.decode(vae_params, vcfg, x0)
+        img = jnp.clip(img.astype(jnp.float32), -1, 1) * 0.5 + 0.5
+        return jnp.clip(img * 255.0, 0, 255).astype(jnp.uint8)
+
+    return predict
+
+
+def main() -> None:
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    _stage("import-jax")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if os.environ.get("BENCH_PLATFORM"):
+        # CI/smoke escape hatch: sitecustomize pins JAX_PLATFORMS=axon and
+        # env vars can't override it, but an in-process config update can.
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
+    _stage("relay-probe")
+    # Trivial jit + scalar host read: proves device claim + remote compile +
+    # execute + d2h all work before we invest in the big graph.  Normally
+    # ~2-30 s on the axon tunnel (first tiny compile included).
+    probe = int(jax.jit(lambda x: (x + 1).sum())(jnp.ones((8,), jnp.int32)))
+    assert probe == 16, probe
+    dev = jax.devices()[0]
+    with _lock:
+        _state["probe_done"] = True
+    _log(f"relay probe OK on {dev.platform}:{dev.device_kind}")
+
+    _stage("init-params")
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    if tiny:
+        # CI smoke of the STAGED BENCH PROTOCOL itself (probe -> compile ->
+        # preliminary emit -> chained emit) on tiny configs; never what the
+        # driver runs (it sets no env).  tests/test_bench_smoke.py.
+        from diffews_tpu.configs import UNetConfig, VAEConfig
+        from diffews_tpu.models import unet as unet_mod
+        from diffews_tpu.models import vae as vae_mod
+
+        ucfg_t, vcfg_t = UNetConfig.tiny(), VAEConfig.tiny()
+        unet_params = jax.jit(
+            lambda r: unet_mod.init_params(r, ucfg_t))(jax.random.PRNGKey(0))
+        vae_params = jax.jit(
+            lambda r: vae_mod.init_params(r, vcfg_t))(jax.random.PRNGKey(1))
+        to_bf16 = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), t)
+        unet_params, vae_params = to_bf16(unet_params), to_bf16(vae_params)
+        fn = _build_predict(ucfg_t, vcfg_t, encode_chunks=1)
+    else:
+        from __graft_entry__ import entry
+
+        fn, args = entry()
+        unet_params, vae_params = args[0], args[1]
+
+    tag = "bf16-tiny" if tiny else "bf16"
+    ref_qps = REF_4090_QPS
+    five_shot = "5shot" in sys.argv and not tiny
+    if "int8" in sys.argv and not tiny:
         # opt-in A/B mode (NOT the headline: int8 changes eval numerics —
-        # ops/quant.py): W8A8 VAE convs on the MXU's 2x int8 rate.
-        # Calibrated static activation scales: the s8 quantize fuses into
-        # its producer instead of serializing on a dynamic amax (bf16 19.5
-        # / int8-dynamic 20.5 / int8-static 22.4 q/s).  "dynamic" selects
-        # the amax fallback for the A/B record.
+        # ops/quant.py; flip-rate dossier in PERF.md): W8A8 VAE convs on
+        # the MXU's 2x int8 rate.  Calibrated static activation scales:
+        # the s8 quantize fuses into its producer instead of serializing
+        # on a dynamic amax (bf16 19.5 / int8-dynamic 20.5 / int8-static
+        # 22.4 q/s).  "dynamic" selects the amax fallback for the record.
+        _stage("int8-calibrate")
         from diffews_tpu.configs import VAEConfig
         from diffews_tpu.ops import quant
 
@@ -84,61 +280,97 @@ def main():
                                                      a_scales=uscales)
             tag += "+unet"
 
-    def run(batch):
-        b, n, s = batch, 1, 512
-        dt = jnp.bfloat16
+    n_shots = 5 if five_shot else 1
+    if five_shot:
+        # entry()'s predict encodes the episode flat; at b8 n5 that is 88
+        # images at 512px in one VAE pass — OOM on 16 GB.  Rebuild the same
+        # math with the measured 5-shot operating point's encode chunking
+        # (4 chunks of 22: tools/tpu_5shot_sweep.py — 3.92 q/s at b8,
+        # beats flat b4 and every other chunking).
+        tag += "-5shot"
+        ref_qps = REF_4090_QPS_5SHOT
+        from diffews_tpu.configs import UNetConfig, VAEConfig
 
-        def mk(seed):
-            rng = np.random.default_rng(seed)
-            return (
-                jnp.asarray(rng.uniform(-1, 1, (b, s, s, 3)), dt),
-                jnp.asarray(rng.uniform(-1, 1, (b, n, s, s, 3)), dt),
-                jnp.asarray(rng.uniform(-1, 1, (b, n, s, s, 3)), dt),
-                jnp.asarray(rng.normal(size=(b, 2, 1024)), dt),
-            )
+        fn = _build_predict(UNetConfig.sd21(), VAEConfig.sd(),
+                            encode_chunks=4)
 
-        int(jfn(unet_params, vae_params, *mk(0)))  # compile + warm
-        # Steady-state throughput, depth-2 pipeline: keep one execution in
-        # flight while reading the previous result — exactly how the eval
-        # harness runs (predict_async + --dispatch_ahead 2).  Measured on
-        # 1x v5e (tools/tpu_dispatch_depth.py): depth 1 = 8.6 q/s, depth 2
-        # = 17.4 q/s (the tunnel sync costs ~0.5 s/batch and pipelining
-        # hides it); depth 4 adds nothing.
-        k_batches = 6
-        inputs = [mk(i + 1) for i in range(k_batches)]
-        for inp in inputs:  # force h2d uploads to finish before timing
-            for a in inp:
-                float(a.astype(jnp.float32).sum())
-        best = float("inf")
-        for _rep in range(2):  # inputs are device-resident; best-of-2 damps
-            t0 = time.perf_counter()  # tunnel-load variance
-            pending = []
-            for inp in inputs:
-                pending.append(jfn(unet_params, vae_params, *inp))
-                if len(pending) >= 2:
-                    int(pending.pop(0))  # host read = honest sync
-            while pending:
-                int(pending.pop(0))
-            best = min(best, time.perf_counter() - t0)
-        return batch * k_batches / best
+    # Honest sync on the axon tunnel: block_until_ready can return before
+    # remote execution finishes; a host read of a scalar reduction cannot.
+    jfn = jax.jit(lambda *a: fn(*a).astype(jnp.int32).sum())
 
-    # b8 is the measured sweet spot on v5e (b16 saturates HBM bandwidth:
-    # 9.7 q/s vs 10.2 q/s at b8); a single batch size keeps driver runs fast.
-    best_qps, best_bs = 0.0, 1
-    for bs in (8,):
-        try:
-            qps = run(bs)
-        except Exception:
+    batch = 2 if tiny else 8  # b8: measured v5e sweet spot, 1- and 5-shot
+    s = 64 if tiny else 512
+    ctx_dim = 32 if tiny else 1024
+    dt = jnp.bfloat16
+
+    def mk(seed):
+        rng = np.random.default_rng(seed)
+        return (
+            jnp.asarray(rng.uniform(-1, 1, (batch, s, s, 3)), dt),
+            jnp.asarray(rng.uniform(-1, 1, (batch, n_shots, s, s, 3)), dt),
+            jnp.asarray(rng.uniform(-1, 1, (batch, n_shots, s, s, 3)), dt),
+            jnp.asarray(rng.normal(size=(batch, 2, ctx_dim)), dt),
+        )
+
+    _stage("compile-warm")
+    _log(f"compiling episode graph (b{batch} n{n_shots} {tag}; first "
+         "remote compile of this graph is 1-4 min)")
+    warm_in = mk(0)
+    t_c = time.monotonic()
+    int(jfn(unet_params, vae_params, *warm_in))
+    _log(f"compile+warm done in {time.monotonic() - t_c:.1f}s")
+
+    _stage("measure-preliminary")
+    # Single warm batch, depth-1 (includes one ~25 ms tunnel round-trip):
+    # a conservative floor, emitted IMMEDIATELY so any later stall still
+    # leaves a real number in the driver's tail.
+    t0 = time.perf_counter()
+    int(jfn(unet_params, vae_params, *warm_in))
+    dt1 = time.perf_counter() - t0
+    prelim = batch / dt1
+    _record(prelim, tag, batch, ref_qps)
+    _emit(prelim, tag, batch, ref_qps,
+          note="preliminary: single batch, depth-1 dispatch")
+    _log(f"preliminary: {prelim:.2f} q/s (single batch {dt1 * 1e3:.0f} ms)")
+
+    _stage("upload-batches")
+    # Steady-state throughput, depth-2 pipeline: keep one execution in
+    # flight while reading the previous result — exactly how the eval
+    # harness runs (predict_async + --dispatch_ahead 2).  Measured on
+    # 1x v5e (tools/tpu_dispatch_depth.py): depth 1 = 8.6 q/s, depth 2
+    # = 17.4 q/s (the tunnel sync costs ~0.5 s/batch and pipelining
+    # hides it); depth 4 adds nothing.
+    k_batches = 6
+    inputs = [mk(i + 1) for i in range(k_batches)]
+    for i, inp in enumerate(inputs):  # force h2d before timing (lazy
+        for a in inp:                 # uploads pollute the measurement)
+            float(a.astype(jnp.float32).sum())
+        _log(f"batch {i + 1}/{k_batches} device-resident")
+
+    _stage("measure-chained")
+    best = float("inf")
+    for rep in range(2):  # inputs are device-resident; best-of-2 damps
+        t0 = time.perf_counter()  # tunnel-load variance
+        pending = []
+        for inp in inputs:
+            pending.append(jfn(unet_params, vae_params, *inp))
+            if len(pending) >= 2:
+                int(pending.pop(0))  # host read = honest sync
+        while pending:
+            int(pending.pop(0))
+        best = min(best, time.perf_counter() - t0)
+        qps = batch * k_batches / best
+        _record(qps, tag, batch, ref_qps)
+        _log(f"chained rep {rep + 1}: {batch * k_batches / best:.2f} q/s")
+        if time.monotonic() - T0 > DEADLINE_S - 30:
+            _log("approaching deadline; stopping reps early")
             break
-        if qps > best_qps:
-            best_qps, best_bs = qps, bs
 
-    print(json.dumps({
-        "metric": f"query images/sec at 1-shot 512px ({tag}, batch {best_bs}, 1 chip)",
-        "value": round(best_qps, 3),
-        "unit": "queries/s",
-        "vs_baseline": round(best_qps / REF_4090_QPS, 3),
-    }))
+    with _lock:
+        _state["done"] = True
+        qps, tag, batch, ref = _state["best"]
+    _stage("final")
+    _emit(qps, tag, batch, ref)
 
 
 if __name__ == "__main__":

@@ -556,16 +556,21 @@ def _slice_out(out, n: int):
 def make_handler(server: ModelServer):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
-        # Socket timeout on every blocking read: without it a keep-alive
-        # client that parks an idle pooled connection leaves its handler
-        # thread blocked in readline() forever — the non-daemon thread
-        # keeps the interpreter alive and server_close()'s drain join
-        # never returns (SIGTERM would end in SIGKILL, not exit 0).  On
-        # timeout BaseHTTPRequestHandler closes the connection, so an
-        # idle connection bounds the drain by this many seconds.  Device
+        # Socket timeout on EVERY blocking socket op (not just the idle
+        # keep-alive readline): without it a keep-alive client that parks
+        # an idle pooled connection leaves its handler thread blocked in
+        # readline() forever — the non-daemon thread keeps the interpreter
+        # alive and server_close()'s drain join never returns (SIGTERM
+        # would end in SIGKILL, not exit 0).  On timeout
+        # BaseHTTPRequestHandler closes the connection, so an idle
+        # connection bounds the drain by this many seconds.  Side effect:
+        # a client that stalls >30 s mid-body-upload or mid-response-read
+        # is also dropped — a transfer must make SOME progress every 30 s
+        # (at --max_body_mb=64 that asks for >=2 MB/s of sustained upload;
+        # slower links need a proxy that buffers, e.g. nginx).  Device
         # work (compiles, episode dispatch) is not a socket read and is
         # unaffected.
-        timeout = 10
+        timeout = 30
 
         def log_message(self, fmt, *args):  # quiet by default
             pass
@@ -575,6 +580,13 @@ def make_handler(server: ModelServer):
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if getattr(self.server, "draining", False):
+                # hard drain bound: once shutdown begins, every response
+                # closes its connection, so a busy keep-alive client can't
+                # keep its handler thread (and the drain join) alive
+                # indefinitely — each connection gets at most one more
+                # response after the SIGTERM
+                self.close_connection = True
             if self.close_connection:
                 # e.g. the 413 reject path closes without draining the
                 # body; without this header a conforming keep-alive client
@@ -787,6 +799,11 @@ class _DrainingHTTPServer(ThreadingHTTPServer):
     # non-daemon handler threads + block_on_close: server_close() joins
     # in-flight requests, so a graceful stop finishes the work it accepted
     daemon_threads = False
+    draining = False  # set by shutdown(); handlers then close connections
+
+    def shutdown(self):
+        self.draining = True
+        super().shutdown()
 
 
 def main(argv=None):

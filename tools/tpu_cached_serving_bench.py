@@ -79,8 +79,16 @@ def main():
         import jax as _j
         _j.config.update("jax_platforms", "cpu")
         ucfg, vcfg, s = UNetConfig.tiny(), VAEConfig.tiny(), 32
+    if not set(modes) <= MODES.keys():  # fail fast, BEFORE param init
+        raise SystemExit(f"unknown --modes {sorted(set(modes) - MODES.keys())}"
+                         f"; valid: {sorted(MODES)}")
     up = jax.jit(lambda r: unet.init_params(r, ucfg))(jax.random.PRNGKey(0))
     vp = jax.jit(lambda r: vae.init_params(r, vcfg))(jax.random.PRNGKey(1))
+    # Pull the f32 init trees to HOST: each mode's pipeline casts them to
+    # device itself, and keeping the ~3.8 GB f32 originals resident for the
+    # whole mode x batch matrix shifts the OOM edge on a 16 GB v5e (the
+    # try/except below would then mask real capacity as FAILED cells).
+    up, vp = jax.device_get(up), jax.device_get(vp)
     bundle = ckpt_lib.PipelineBundle(
         up, ucfg, vp, vcfg, None, CLIPTextConfig.sd21(),
         SchedulerConfig.diffews())

@@ -128,7 +128,18 @@ def main():
         [t.start() for t in threads]
         [t.join() for t in threads]
         wall = time.perf_counter() - t0
-        s1 = snap()
+        # stats.record runs AFTER the response bytes are written, so the
+        # final in-flight requests can land in the counters a beat after
+        # the clients' post() returns — retry until Δcount covers every
+        # successful request (else it undercounts by up to `clients`).
+        want = clients * reqs - len(errs)
+        for _ in range(50):
+            s1 = snap()
+            got = (s1["endpoints"].get("segment", {}).get("count", 0)
+                   - s0["endpoints"].get("segment", {}).get("count", 0))
+            if got >= want:
+                break
+            time.sleep(0.1)
         if errs:
             print(f"ERRORS: {len(errs)}, first: {errs[0]}")
         print(f"serve_http_qps={len(done) / wall:.2f} "
