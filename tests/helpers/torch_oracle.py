@@ -48,9 +48,52 @@ def _t(sd, key):
     return v.float()
 
 
+_INT8_W8A8 = None  # None = off; else {} (dynamic scales) or {pfx: amax*margin}
+
+
+class int8_w8a8:
+    """Context manager: every ELIGIBLE conv (3x3, in_channels >= 32 — the
+    exact `ops/quant.py` site rule) runs the W8A8 scheme instead of fp:
+    per-out-channel weight scales `amax/127`, per-tensor activation scale
+    (dynamic amax, or static when the conv's diffusers key prefix is in
+    `a_scales` — the same dict `calibrate_conv_scales` returns, since our
+    param-tree paths mirror diffusers key paths), round-half-even quantize,
+    integer conv emulated EXACTLY in f64 (products sum < 2^53), f32
+    dequant + bias.  A cross-framework oracle for `ops/quant.py`."""
+
+    def __init__(self, a_scales=None):
+        self.a_scales = a_scales or {}
+
+    def __enter__(self):
+        global _INT8_W8A8
+        _INT8_W8A8 = self.a_scales
+        return self
+
+    def __exit__(self, *exc):
+        global _INT8_W8A8
+        _INT8_W8A8 = None
+
+
 def _conv(sd, pfx, x, stride=1, padding=1):
-    return F.conv2d(x, _t(sd, pfx + ".weight"), _t(sd, pfx + ".bias"),
-                    stride=stride, padding=padding)
+    w = _t(sd, pfx + ".weight")
+    b = _t(sd, pfx + ".bias")
+    if (_INT8_W8A8 is not None and w.shape[2:] == (3, 3)
+            and w.shape[1] >= 32):  # OIHW in_channels == HWIO cin
+        s_w = (w.abs().amax(dim=(1, 2, 3)) / 127.0).clamp_min(1e-12)
+        w8 = torch.clamp(torch.round(w / s_w[:, None, None, None]),
+                         -127, 127)
+        if pfx in _INT8_W8A8:
+            s_a = torch.clamp_min(
+                torch.tensor(_INT8_W8A8[pfx], dtype=torch.float32) / 127.0,
+                1e-12)
+        else:
+            s_a = torch.clamp_min(x.abs().amax() / 127.0, 1e-12)
+        x8 = torch.clamp(torch.round(x / s_a), -127, 127)
+        y = F.conv2d(x8.double(), w8.double(), None, stride=stride,
+                     padding=padding)
+        return (y.float() * (s_w * s_a)[None, :, None, None]
+                + b[None, :, None, None])
+    return F.conv2d(x, w, b, stride=stride, padding=padding)
 
 
 def _gn(sd, pfx, x, groups, eps):
