@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import itertools
+import json
 import os
 import random
 import signal
@@ -108,6 +109,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "`train_icl_*_v3.py:306-314`); wandb degrades to a "
                         "warning when the package is not installed")
     p.add_argument("--logging_steps", type=int, default=50)
+    p.add_argument("--metrics_jsonl", type=str, default="",
+                   help="append {step, loss, steps_per_s, wall_s, "
+                        "total_notfinite} at every logging interval — a "
+                        "committable loss-curve/step-time artifact for "
+                        "sustained runs (appends across resumes)")
     p.add_argument("--profile_step", type=int, default=0,
                    help="capture a device profiler trace starting at this "
                         "optimizer step (0 = off); view with tensorboard/"
@@ -561,6 +567,7 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     preempt, restore_signals = _install_preemption_handler()
     t0 = time.time()
+    last_logged_step, last_logged_t = global_step, t0
     losses = []
     profiling_active = False
     preempted = False
@@ -614,10 +621,25 @@ def main(argv=None):
         if (global_step % args.logging_steps == 0 or global_step == 1) and is_main:
             loss = float(metrics["loss"])
             losses.append(loss)
-            rate = global_step / (time.time() - t0)
+            now = time.time()
+            rate = global_step / (now - t0)
+            # windowed rate: steps since the previous log over wall since it
+            # (the cumulative rate hides checkpoint-write and resume stalls)
+            win_rate = ((global_step - last_logged_step) / (now - last_logged_t)
+                        if now > last_logged_t else rate)
+            last_logged_step, last_logged_t = global_step, now
             print(f"step {global_step}/{args.max_train_steps} "
                   f"loss {loss:.5f} ({rate:.2f} opt-steps/s)")
             log_scalar("train_loss", loss, global_step)
+            if args.metrics_jsonl:
+                with open(args.metrics_jsonl, "a") as fh:
+                    fh.write(json.dumps({
+                        "step": global_step, "loss": round(loss, 6),
+                        "steps_per_s": round(win_rate, 4),
+                        "wall_s": round(now - t0, 2),
+                        "total_notfinite":
+                            int(metrics.get("total_notfinite", 0)),
+                    }) + "\n")
             nf = int(metrics.get("total_notfinite", 0))
             if nf:
                 # containment (optax.apply_if_finite) is silent by design;

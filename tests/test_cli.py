@@ -197,9 +197,23 @@ def test_train_cli_end_to_end(workdir, tmp_path):
     main(common + ["--max_train_steps", "4", "--validation_steps", "2",
                    "--validation_episodes", "2",
                    "--validation_image_grids", "1",
+                   "--metrics_jsonl", str(out / "metrics.jsonl"),
                    "--profile_step", "2", "--profile_num_steps", "1"])
     assert (out / "checkpoint-2" / "unet").is_dir()
     assert (out / "checkpoint-4" / "unet").is_dir()
+    # --metrics_jsonl wrote one record per logging interval with the
+    # sustained-run artifact fields, and the plot tool renders it
+    recs = [json.loads(l) for l in (out / "metrics.jsonl").open()]
+    assert [r["step"] for r in recs] == [1, 2, 3, 4]
+    assert all({"loss", "steps_per_s", "wall_s", "total_notfinite"}
+               <= set(r) for r in recs)
+    import subprocess
+    import sys as _sys
+    subprocess.run([_sys.executable, "tools/plot_train_metrics.py",
+                    str(out / "metrics.jsonl")], check=True,
+                   cwd=os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))))
+    assert (out / "metrics.png").is_file()
     # --profile_step captured a profiler trace (numerics-neutral: the
     # resumed leg below runs unprofiled and must still match bitwise)
     assert any((out / "profile").rglob("*.xplane.pb"))

@@ -26,10 +26,15 @@ protocol's own quantization noise.
 
 Usage: python tools/tpu_int8_flip_rate.py [--episodes 104] [--bsz 8]
            [--size 512] [--modes lsb,int8,int8u,cached] [--tiny]
+           [--workdir /tmp/flip_rate_masks]
+Each mode runs in its OWN subprocess (sequential — one TPU client at a
+time) and persists its masks to --workdir, so reruns reuse completed
+modes and a crashed mode costs only itself.
 Results recorded in PERF.md ("int8 accuracy dossier").
 """
 
 import json
+import os
 import sys
 import time
 
@@ -118,6 +123,48 @@ def _compare(name, got, base):
     return rec
 
 
+PIPE_KW = {
+    "base": {},
+    "lsb": {},      # bf16 pipeline, +1-LSB-perturbed queries
+    "int8": {"vae_impl": "int8"},
+    "int8u": {"vae_impl": "int8", "unet_int8": True},
+    "cached": {"vae_impl": "int8", "unet_int8": True},
+}
+
+
+def _worker(mode, n_ep, bsz, s, tiny, out_npz):
+    """One mode end to end in THIS process; masks -> out_npz.
+
+    Subprocess-per-mode is a hard requirement, not hygiene: the in-process
+    loop leaked ~30 GB of host RSS per pipeline build (jit cache constants
+    + bundle copies) and the 4-mode run was OOM-killed at 130 GB by the
+    driver host.  Process exit is the only reliable reclaim."""
+    if tiny:
+        jax.config.update("jax_platforms", "cpu")
+        ucfg, vcfg, tcfg = (UNetConfig.tiny(), VAEConfig.tiny(),
+                            CLIPTextConfig.tiny())
+    else:
+        ucfg, vcfg, tcfg = (UNetConfig.sd21(), VAEConfig.sd(),
+                            CLIPTextConfig.sd21())
+    up = jax.device_get(
+        jax.jit(lambda r: unet.init_params(r, ucfg))(jax.random.PRNGKey(0)))
+    vp = jax.device_get(
+        jax.jit(lambda r: vae.init_params(r, vcfg))(jax.random.PRNGKey(1)))
+    bundle = ckpt_lib.PipelineBundle(up, ucfg, vp, vcfg, None, tcfg,
+                                     SchedulerConfig.diffews())
+    # identical episode tensors in every worker: fresh seeded rng
+    q, sup, msk = _episodes(np.random.default_rng(0), n_ep, s)
+    pipe = DiffewsPipeline(bundle, compute_dtype=jnp.bfloat16,
+                           attn_impl="auto", **PIPE_KW[mode])
+    got, dt = _run_mode(pipe, q, sup, msk, bsz,
+                        perturb=1 if mode == "lsb" else 0,
+                        cached=(mode == "cached"))
+    np.savez_compressed(out_npz + ".tmp.npz", masks=got, wall=dt)
+    os.replace(out_npz + ".tmp.npz", out_npz)  # crash-safe: no partial npz
+    print(f"[{mode}] {n_ep / dt:.2f} ep/s incl compile -> {out_npz}",
+          flush=True)
+
+
 def main():
     n_ep = _arg("--episodes", 104)
     bsz = _arg("--bsz", 8)
@@ -125,52 +172,45 @@ def main():
     modes = (sys.argv[sys.argv.index("--modes") + 1].split(",")
              if "--modes" in sys.argv else ["lsb", "int8", "int8u", "cached"])
     tiny = "--tiny" in sys.argv
-
-    if tiny:  # CPU smoke of the tool itself
-        jax.config.update("jax_platforms", "cpu")
-        ucfg, vcfg, tcfg = (UNetConfig.tiny(), VAEConfig.tiny(),
-                            CLIPTextConfig.tiny())
+    if tiny:
         s = min(s, 32)
-    else:
-        ucfg, vcfg, tcfg = (UNetConfig.sd21(), VAEConfig.sd(),
-                            CLIPTextConfig.sd21())
+    workdir = (sys.argv[sys.argv.index("--workdir") + 1]
+               if "--workdir" in sys.argv else "/tmp/flip_rate_masks")
 
-    up = jax.device_get(
-        jax.jit(lambda r: unet.init_params(r, ucfg))(jax.random.PRNGKey(0)))
-    vp = jax.device_get(
-        jax.jit(lambda r: vae.init_params(r, vcfg))(jax.random.PRNGKey(1)))
-    bundle = ckpt_lib.PipelineBundle(up, ucfg, vp, vcfg, None, tcfg,
-                                     SchedulerConfig.diffews())
+    if "--worker" in sys.argv:  # child: one mode, then exit
+        _worker(sys.argv[sys.argv.index("--worker") + 1], n_ep, bsz, s,
+                tiny, sys.argv[sys.argv.index("--out") + 1])
+        return
 
-    rng = np.random.default_rng(0)
-    q, sup, msk = _episodes(rng, n_ep, s)
+    # Orchestrator: NO jax device use here (children need the chip claim).
+    # Existing npz files are reused, so a crashed/OOM-killed mode only
+    # costs its own rerun.
+    import subprocess
 
-    PIPE_KW = {
-        "bf16": {},
-        "int8": {"vae_impl": "int8"},
-        "int8u": {"vae_impl": "int8", "unet_int8": True},
-        "cached": {"vae_impl": "int8", "unet_int8": True},
-    }
-
+    os.makedirs(workdir, exist_ok=True)
     print(f"flip-rate run: {n_ep} episodes, {s}px, b{bsz}, "
           f"modes={modes}", flush=True)
-    pipe = DiffewsPipeline(bundle, compute_dtype=jnp.bfloat16,
-                           attn_impl="auto")
-    base, dt = _run_mode(pipe, q, sup, msk, bsz)
-    print(f"[bf16 base] {n_ep / dt:.2f} ep/s incl compile", flush=True)
 
-    results = []
-    for mode in modes:
-        if mode == "lsb":
-            got, dt = _run_mode(pipe, q, sup, msk, bsz, perturb=1)
-        else:
-            mpipe = DiffewsPipeline(bundle, compute_dtype=jnp.bfloat16,
-                                    attn_impl="auto", **PIPE_KW[mode])
-            got, dt = _run_mode(mpipe, q, sup, msk, bsz,
-                                cached=(mode == "cached"))
-            del mpipe  # free HBM before the next mode
-        print(f"[{mode}] {n_ep / dt:.2f} ep/s incl compile", flush=True)
-        results.append(_compare(mode, got, base))
+    def mode_npz(mode):
+        return os.path.join(workdir,
+                            f"{mode}_{n_ep}x{s}_b{bsz}{'_t' if tiny else ''}"
+                            ".npz")
+
+    for mode in ["base"] + [m for m in modes if m != "base"]:
+        out = mode_npz(mode)
+        if os.path.exists(out):
+            print(f"[{mode}] reusing {out}", flush=True)
+            continue
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker", mode,
+               "--out", out, "--episodes", str(n_ep), "--bsz", str(bsz),
+               "--size", str(s)] + (["--tiny"] if tiny else [])
+        rc = subprocess.call(cmd)
+        if rc != 0:
+            raise SystemExit(f"worker for mode '{mode}' failed rc={rc}")
+
+    base = np.load(mode_npz("base"))["masks"]
+    results = [_compare(m, np.load(mode_npz(m))["masks"], base)
+               for m in modes]
 
     if "lsb" in [r["mode"] for r in results]:
         floor = next(r for r in results if r["mode"] == "lsb")

@@ -15,6 +15,16 @@ both ways — the A/B for codec-free serving I/O (skips the PNG codec,
 the dominant host cost at high request rates on few-core hosts, at
 ~2.6x the payload bytes).  --ab runs png/raw/png in ONE process (one
 compile, same chip state) — the only A/B worth trusting on the tunnel.
+
+--replay (VERDICT r2 #6) drives the daemon's micro-batcher directly with
+pre-decoded uint8 arrays from N threads — the serving machinery (window
+coalescing, device-lock pipelining, per-item host thresholding) with the
+HTTP loopback, JSON, base64 and PNG codec removed.  Reports q/s and
+device-lock occupancy (Δdevice_s / wall); occupancy ≥~80% demonstrates
+the machinery itself is device-bound and the full-HTTP gap is host codec
++ transport cost.  --host_codec measures that cost per request on THIS
+host and prints the host-core budget needed to feed the chip at the
+device rate.
 """
 
 import base64
@@ -164,7 +174,63 @@ def main():
                   f"({100 * ddev / wall:.0f}% device-lock occupancy)",
                   flush=True)
 
-    if "--ab" in sys.argv:       # same-process A/B: png then raw then png
+    def replay():
+        # pre-decoded arrays straight into the micro-batcher (no HTTP/codec)
+        frames_np = [np.ascontiguousarray(f) for f in frames]
+        done, errs = [], []
+
+        def client(k):
+            for i in range(reqs):
+                try:
+                    tr = time.perf_counter()
+                    ms._segment_cached(frames_np[(k + i) % 4][None], cid,
+                                       0.25, 0.0)
+                    done.append(time.perf_counter() - tr)
+                except Exception as e:  # noqa: BLE001
+                    errs.append(e)
+
+        dev0 = ms.stats.snapshot()["device_s"]
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=client, args=(k,))
+                   for k in range(clients)]
+        [t.start() for t in threads]
+        [t.join() for t in threads]
+        wall = time.perf_counter() - t0
+        ddev = ms.stats.snapshot()["device_s"] - dev0
+        if errs:
+            print(f"REPLAY ERRORS: {len(errs)}, first: {errs[0]}")
+        lat = sorted(done)
+        p50 = lat[(len(lat) - 1) // 2] if lat else float("nan")
+        print(f"serve_replay_qps={len(done) / wall:.2f} "
+              f"(clients={clients} reqs={reqs} window_ms={window} bsz={b}; "
+              f"p50={p50*1e3:.0f}ms; Δdevice_s={ddev:.1f} "
+              f"device_lock_occupancy={100 * ddev / wall:.0f}%)", flush=True)
+
+    def host_codec():
+        # host cost of the codec work --replay removed, measured here, and
+        # the implied host-core budget to feed the chip at the device rate
+        f = frames[0]
+        n = 20
+        t0 = time.perf_counter()
+        for _ in range(n):
+            p = png(f)
+        t_enc = (time.perf_counter() - t0) / n
+        t0 = time.perf_counter()
+        for _ in range(n):
+            np.asarray(Image.open(io.BytesIO(base64.b64decode(p)))
+                       .convert("RGB"))
+        t_dec = (time.perf_counter() - t0) / n
+        per_req = t_enc + t_dec  # server decodes the query, encodes the mask
+        print(f"host_codec: png_enc={t_enc*1e3:.1f}ms png_dec={t_dec*1e3:.1f}"
+              f"ms per-request={per_req*1e3:.1f}ms -> "
+              f"cores for 40 q/s (png): {40 * per_req:.1f}; "
+              f"raw ingestion+response removes this entirely", flush=True)
+
+    if "--host_codec" in sys.argv:
+        host_codec()
+    if "--replay" in sys.argv:
+        replay()
+    elif "--ab" in sys.argv:     # same-process A/B: png then raw then png
         for mode in ("png", "raw", "png"):
             sweep(mode)
     else:
