@@ -149,8 +149,19 @@ class DiffewsPipeline:
         self.encode_chunks = int(encode_chunks)
         self.vae_impl = vae_impl
 
-        self.unet_params = _cast_tree(bundle.unet_params, compute_dtype)
-        self.vae_params = _cast_tree(bundle.vae_params, compute_dtype)
+        # device_put AFTER the cast (host numpy casts are free and halve
+        # the upload): bundle trees loaded from checkpoints (or
+        # device_get'd by callers) are HOST numpy, and numpy.astype keeps
+        # them host-side (ml_dtypes numpy bf16) — without an explicit put,
+        # every pipeline call re-uploads the full ~1.7 GB tree as a jit
+        # argument (observed on the axon tunnel: ~50-100 s/batch instead
+        # of ~0.4 s, plus unbounded host staging growth).  The mesh/
+        # shot_mesh branches below re-put with their replicated shardings;
+        # this covers the default single-device path.
+        self.unet_params = jax.device_put(
+            _cast_tree(bundle.unet_params, compute_dtype))
+        self.vae_params = jax.device_put(
+            _cast_tree(bundle.vae_params, compute_dtype))
         if vae_impl == "int8":
             from diffews_tpu.ops import quant
 
