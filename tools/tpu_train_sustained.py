@@ -77,10 +77,11 @@ def prep(root):
     sys.path.insert(0, os.path.join(REPO, "tests"))
     from helpers import synthetic_data as syn
 
+    # 80 classes: fold-0 TRAIN samples from all 60 train classes
     # small sources (fixture default 40x30): the run measures sustained
     # device training + checkpoint/resume, not loader host cost (that is
     # tools/loader_bench.py's job)
-    syn.make_coco(os.path.join(root, "data"), n_classes=20, imgs_per_class=4)
+    syn.make_coco(os.path.join(root, "data"), n_classes=80, imgs_per_class=4)
     print(f"prep done in {time.time() - t0:.0f}s -> {root}", flush=True)
 
 
