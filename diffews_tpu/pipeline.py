@@ -155,13 +155,16 @@ class DiffewsPipeline:
         # them host-side (ml_dtypes numpy bf16) — without an explicit put,
         # every pipeline call re-uploads the full ~1.7 GB tree as a jit
         # argument (observed on the axon tunnel: ~50-100 s/batch instead
-        # of ~0.4 s, plus unbounded host staging growth).  The mesh/
-        # shot_mesh branches below re-put with their replicated shardings;
-        # this covers the default single-device path.
-        self.unet_params = jax.device_put(
-            _cast_tree(bundle.unet_params, compute_dtype))
-        self.vae_params = jax.device_put(
-            _cast_tree(bundle.vae_params, compute_dtype))
+        # of ~0.4 s, plus unbounded host staging growth).  When a mesh /
+        # shot_mesh is given, SKIP this default-device put: those branches
+        # below do the only put, host-numpy-to-replicated-sharding (the
+        # well-supported transfer path) — a pre-put here would stage a
+        # transient second full copy of the tree on the default device.
+        self.unet_params = _cast_tree(bundle.unet_params, compute_dtype)
+        self.vae_params = _cast_tree(bundle.vae_params, compute_dtype)
+        if mesh is None and shot_mesh is None:
+            self.unet_params = jax.device_put(self.unet_params)
+            self.vae_params = jax.device_put(self.vae_params)
         if vae_impl == "int8":
             from diffews_tpu.ops import quant
 

@@ -22,8 +22,17 @@ def _save_rgb(path, rng, size=(40, 30)):
     Image.fromarray(arr).save(path)
 
 
-def make_coco(root: str, n_classes: int = 80, imgs_per_class: int = 3, seed: int = 0):
-    """COCO2014 tree: train2014/val2014 jpgs + annotations pngs + fold pkls."""
+def make_coco(root: str, n_classes: int = 80, imgs_per_class: int = 3, seed: int = 0,
+              correlated: bool = False):
+    """COCO2014 tree: train2014/val2014 jpgs + annotations pngs + fold pkls.
+
+    correlated=True draws the object VISIBLY into the image (dim noise
+    background, bright noisy foreground on the mask region, the same
+    class-independent contrast for every class) so the segmentation target
+    is predictable from the query image — the learnable task the
+    train-to-capability demonstration uses (tools/train_capability.py).
+    Default False keeps the original pure-noise images (mask uncorrelated
+    with pixels; exercises plumbing, not learning)."""
     rng = np.random.default_rng(seed)
     base = os.path.join(root, "COCO2014")
     for split, prefix in (("trn", "train2014"), ("val", "val2014")):
@@ -39,9 +48,19 @@ def make_coco(root: str, n_classes: int = 80, imgs_per_class: int = 3, seed: int
                     name = f"{prefix}/COCO_{prefix}_{c:03d}_{i:04d}.jpg"
                     img_path = os.path.join(base, name)
                     if not os.path.exists(img_path):
-                        _save_rgb(img_path, rng)
                         ann = np.zeros((30, 40), np.uint8)
                         ann[5 + c % 10 : 20, 8 : 30] = min(c + 1, 255)  # class pixels = id+1
+                        if correlated:
+                            arr = rng.integers(
+                                0, 90, size=(30, 40, 3), dtype=np.uint8)
+                            fg = rng.integers(
+                                170, 255, size=(30, 40, 3), dtype=np.uint8)
+                            arr[ann > 0] = fg[ann > 0]
+                            os.makedirs(os.path.dirname(img_path),
+                                        exist_ok=True)
+                            Image.fromarray(arr).save(img_path)
+                        else:
+                            _save_rgb(img_path, rng)
                         ann_path = os.path.join(
                             base, "annotations", name.replace(".jpg", ".png")
                         )

@@ -63,8 +63,12 @@ def test_record_mode_writes_report(workdir, tmp_path, capsys):
     report = json.loads((tmp_path / "rec" / "parity_report.json").read_text())
     assert np.isfinite(report["miou"]) and np.isfinite(report["fb_iou"])
     assert report["verdict"].startswith("recorded")
-    # no diffusers in this environment: golden phase must skip, not fail
-    assert report["golden"]["status"] in ("skipped", "pass")
+    # torch exists in CI: phase A must actually RUN via the torch-only
+    # oracle path and PASS — loader + plain forwards + the conv_in_ref/
+    # KV-fusion ref branch all compared against the state-dict oracle
+    assert report["golden"]["status"] == "pass", report["golden"]
+    assert report["golden"]["unet_ref_max_abs"] is not None
+    assert report["golden"]["unet_ref_max_abs"] < 5e-3
     # the printed line is the same JSON (drivers/scripts parse stdout)
     printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert printed["miou"] == report["miou"]

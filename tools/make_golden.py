@@ -1,31 +1,163 @@
-"""Golden-activation fixture generator (requires torch + diffusers).
+"""Golden-activation fixture generator (torch required; diffusers optional).
 
 This environment ships no diffusers and no SD checkpoints, so architecture
 parity against the reference stack cannot be asserted in-repo; this tool
-closes that gap wherever diffusers IS available:
+closes that gap wherever torch IS available:
 
   1. builds SMALL random-weight diffusers models matching our tiny configs
-     (`UNet2DConditionModel`, `AutoencoderKL`, `CLIPTextModel`),
-  2. saves them in diffusers layout (loadable by `diffews_tpu.checkpoint`),
-  3. runs the reference two-pass KV-bank semantics (via the
-     store-then-concat attention processor) and the plain forward on fixed
-     inputs, saving inputs + outputs to `tests/golden/golden.npz`.
+     (`UNet2DConditionModel`, `AutoencoderKL`) — or, with `--checkpoint`,
+     uses a real diffusers-layout checkpoint,
+  2. saves/keeps them in diffusers layout (loadable by
+     `diffews_tpu.checkpoint`),
+  3. exports fixed inputs + outputs to `<out>/golden.npz` for BOTH the
+     plain UNet/VAE forwards AND the DiffewS ref branch: the reference's
+     two-pass KV-bank control flow (`conv_in_ref` support dispatch storing
+     every attn1's K/V, then a target dispatch concatenating
+     `[own K/V ‖ nshot-folded bank]` —
+     `diffews/models/attention_processor.py:251-271`,
+     `unet_2d_condition.py:656-664`).  A checkpoint whose `conv_in_ref` /
+     KV-fusion weights load wrong therefore fails the golden phase directly
+     instead of surfacing as an opaque mIoU miss (advisor round 3).
 
-`tests/test_golden.py` then loads the checkpoint through our loader, runs
-the JAX models and compares bit-for-bit (tolerances for fp math).  Run:
+Generator stacks:
+  * default: diffusers modules run the plain forwards; the in-repo torch
+    oracle (`tests/helpers/torch_oracle.py` — torch-ops-only, consumes the
+    raw state dict, so it sees `conv_in_ref` even though stock diffusers
+    modules drop the key) runs the two-pass ref branch.  The oracle's plain
+    forward is cross-checked against the diffusers output IN THE SAME RUN
+    (`oracle_vs_diffusers_max_abs`), anchoring the ref-branch golden to
+    diffusers transitively.
+  * `--oracle`: torch-only (no diffusers import) — everything via the torch
+    oracle on the raw state dicts of `--checkpoint`.  This is what
+    `cli/verify_parity.py` falls back to where torch exists but diffusers
+    does not (e.g. THIS environment's CI dry run).
 
-    python tools/make_golden.py --out tests/golden
+`tests/test_golden.py` loads the checkpoint through our loader, runs the
+JAX models and compares (tolerances for fp math).  Run:
 
-With `--checkpoint <sd21-dir>` it instead exports activations of the real
-SD-2.1 checkpoint (full-size parity).
+    python tools/make_golden.py --out tests/golden            # tiny fixtures
+    python tools/make_golden.py --checkpoint <sd21-ref8-dir>  # full-size
 """
 
 from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for _p in (_REPO, os.path.join(_REPO, "tests")):
+    if _p not in sys.path:
+        sys.path.insert(0, _p)
+
+
+def _as_torch_sd(state):
+    import torch
+
+    return {k: (v if isinstance(v, torch.Tensor)
+                else torch.from_numpy(np.ascontiguousarray(v)))
+            for k, v in state.items()}
+
+
+def _fabricate_conv_in_ref(sd):
+    """The surgery rule (`train_tools/load_ckpt_and_modify_ref8in_tag4in.py
+    :21-25` / `checkpoint.make_ref_conv_surgery`): tile the input-channel
+    axis x2 and halve, so (rgb ‖ mask) initially responds like rgb."""
+    import torch
+
+    w = sd["conv_in.weight"].float()
+    out = dict(sd)
+    out["conv_in_ref.weight"] = torch.cat([w, w], dim=1) / 2.0
+    out["conv_in_ref.bias"] = sd["conv_in.bias"].float().clone()
+    return out
+
+
+def _ref_branch_golden(sd, ucfg, sample, ctx, rng):
+    """Two-pass KV-bank golden on the raw state dict via the torch oracle.
+
+    Returns (ref_sample NCHW (B,N,Cref,H,W), unet_ref_out, fabricated)."""
+    import torch
+
+    from helpers import torch_oracle as O
+
+    fabricated = "conv_in_ref.weight" not in sd
+    if fabricated:
+        sd = _fabricate_conv_in_ref(sd)
+    cref = int(sd["conv_in_ref.weight"].shape[1])
+    b, _, lh, lw = sample.shape
+    ref = rng.normal(size=(b, 1, cref, lh, lw)).astype(np.float32)
+    with torch.no_grad():
+        out = O.unet_two_pass(sd, ucfg, torch.from_numpy(sample), 1,
+                              torch.from_numpy(ctx),
+                              torch.from_numpy(ref))
+    return ref, out.numpy(), fabricated
+
+
+def _load_cfgs(unet_dir, vae_dir):
+    from diffews_tpu import checkpoint as C
+    from diffews_tpu.configs import UNetConfig, VAEConfig
+
+    ud = C.load_json_config(os.path.join(unet_dir, "config.json"))
+    ucfg = UNetConfig.from_diffusers_dict(ud)
+    vcfg = VAEConfig.from_diffusers_dict(
+        C.load_json_config(os.path.join(vae_dir, "config.json")))
+    return ud, ucfg, vcfg
+
+
+def _oracle_main(args):
+    """Torch-only golden export from a checkpoint's raw state dicts."""
+    import torch
+
+    from diffews_tpu import checkpoint as C
+    from diffews_tpu.configs import UNetConfig
+    from helpers import torch_oracle as O
+
+    if not args.checkpoint:
+        raise SystemExit("--oracle needs --checkpoint (a diffusers-layout "
+                         "dir; tiny fixture generation uses diffusers)")
+    unet_dir = os.path.join(args.checkpoint, "unet")
+    vae_dir = os.path.join(args.checkpoint, "vae")
+    usd = _as_torch_sd(C._load_torch_weights(
+        unet_dir, (C.WEIGHTS_SAFETENSORS, C.WEIGHTS_BIN)))
+    vsd = _as_torch_sd(C._load_torch_weights(
+        vae_dir, (C.WEIGHTS_SAFETENSORS, C.WEIGHTS_BIN)))
+    ud, ucfg, vcfg = _load_cfgs(unet_dir, vae_dir)
+    if "conv_in_ref.weight" in usd:
+        ucfg = UNetConfig.from_diffusers_dict(dict(
+            ud, ref_in_channels=int(usd["conv_in_ref.weight"].shape[1])))
+
+    latent_hw = min(int(ud.get("sample_size", 64)), 64)
+    img_hw = latent_hw * 2 ** (len(vcfg.block_out_channels) - 1)
+    rng = np.random.default_rng(0)
+    sample = rng.normal(
+        size=(1, ucfg.in_channels, latent_hw, latent_hw)).astype(np.float32)
+    ctx = rng.normal(
+        size=(1, 2, ucfg.cross_attention_dim)).astype(np.float32)
+    img = rng.uniform(-1, 1, (1, 3, img_hw, img_hw)).astype(np.float32)
+
+    with torch.no_grad():
+        unet_out = O.unet_forward(usd, ucfg, torch.from_numpy(sample), 1,
+                                  torch.from_numpy(ctx)).numpy()
+        moments = O.vae_encode_moments(vsd, vcfg,
+                                       torch.from_numpy(img)).numpy()
+        mean = moments[:, :vcfg.latent_channels] * vcfg.scaling_factor
+        # oracle vae_decode takes the SCALED latent (divides internally)
+        dec = O.vae_decode(vsd, vcfg, torch.from_numpy(mean)).numpy()
+    ref, ref_out, fabricated = _ref_branch_golden(usd, ucfg, sample, ctx, rng)
+
+    os.makedirs(args.out, exist_ok=True)
+    np.savez(
+        os.path.join(args.out, "golden.npz"),
+        sample=sample, ctx=ctx, img=img,
+        unet_out=unet_out, vae_moments=moments, vae_mean=mean, vae_dec=dec,
+        ref_sample=ref, unet_ref_out=ref_out,
+        conv_in_ref_fabricated=np.array(int(fabricated)),
+        gen_mode=np.array("oracle"),
+    )
+    print(f"wrote {args.out}/golden.npz (oracle mode"
+          f"{', conv_in_ref fabricated' if fabricated else ''})")
 
 
 def main():
@@ -33,7 +165,14 @@ def main():
     p.add_argument("--out", default="tests/golden")
     p.add_argument("--checkpoint", default=None,
                    help="optional real diffusers checkpoint for full-size goldens")
+    p.add_argument("--oracle", action="store_true",
+                   help="torch-only: generate via tests/helpers/torch_oracle "
+                        "on the raw state dicts (no diffusers import)")
     args = p.parse_args()
+
+    if args.oracle:
+        _oracle_main(args)
+        return
 
     import torch
 
@@ -42,9 +181,14 @@ def main():
         from diffusers import AutoencoderKL, UNet2DConditionModel
     except ImportError as e:
         raise SystemExit(
-            "diffusers is required to generate golden fixtures; run this in "
-            "an environment that has it"
+            "diffusers is required to generate golden fixtures (or pass "
+            "--oracle for the torch-only state-dict path); run this in an "
+            "environment that has it"
         ) from e
+
+    from diffews_tpu import checkpoint as C
+    from diffews_tpu.configs import UNetConfig
+    from helpers import torch_oracle as O
 
     torch.manual_seed(0)
     os.makedirs(args.out, exist_ok=True)
@@ -92,12 +236,53 @@ def main():
         dec = vae.decoder(vae.post_quant_conv(
             torch.from_numpy(mean / 0.18215))).numpy()
 
+    # --- ref-branch golden (two-pass KV bank) on the RAW state dict -------
+    # Stock diffusers modules drop `conv_in_ref`; the raw file keeps it, so
+    # a real ref8 checkpoint gets its actual surgery weights covered.  The
+    # freshly built tiny model has none — fabricate by the surgery rule and
+    # persist it into the saved fixture checkpoint so our loader exercises
+    # the ref branch from the same file.
+    if args.checkpoint:
+        usd_np = C._load_torch_weights(
+            unet_dir, (C.WEIGHTS_SAFETENSORS, C.WEIGHTS_BIN))
+    else:
+        usd_np = {k: v.float().numpy() for k, v in unet.state_dict().items()}
+    usd = _as_torch_sd(usd_np)
+    ud, ucfg, _vcfg = _load_cfgs(unet_dir, vae_dir)
+    if "conv_in_ref.weight" in usd:
+        ucfg = UNetConfig.from_diffusers_dict(dict(
+            ud, ref_in_channels=int(usd["conv_in_ref.weight"].shape[1])))
+
+    # cross-anchor: the torch oracle's plain forward must reproduce the
+    # diffusers output before its ref-branch golden means anything
+    with torch.no_grad():
+        oracle_plain = O.unet_forward(usd, ucfg, torch.from_numpy(sample), 1,
+                                      torch.from_numpy(ctx)).numpy()
+    anchor = float(np.abs(oracle_plain - unet_out).max())
+    assert anchor < 5e-3, (
+        f"torch oracle disagrees with diffusers plain forward by {anchor}")
+
+    ref, ref_out, fabricated = _ref_branch_golden(usd, ucfg, sample, ctx, rng)
+    if fabricated and not args.checkpoint:
+        full = dict(C._load_torch_weights(
+            unet_dir, (C.WEIGHTS_SAFETENSORS, C.WEIGHTS_BIN)))
+        w = np.asarray(full["conv_in.weight"], np.float32)
+        full["conv_in_ref.weight"] = np.concatenate([w, w], axis=1) / 2.0
+        full["conv_in_ref.bias"] = np.asarray(full["conv_in.bias"],
+                                              np.float32).copy()
+        C.save_torch_weights(full, unet_dir)
+
     np.savez(
         os.path.join(args.out, "golden.npz"),
         sample=sample, ctx=ctx, img=img,
         unet_out=unet_out, vae_moments=moments, vae_mean=mean, vae_dec=dec,
+        ref_sample=ref, unet_ref_out=ref_out,
+        conv_in_ref_fabricated=np.array(int(fabricated)),
+        oracle_vs_diffusers_max_abs=np.array(anchor, np.float32),
+        gen_mode=np.array("diffusers+oracle"),
     )
-    print(f"wrote {args.out}/golden.npz (+ model dirs)")
+    print(f"wrote {args.out}/golden.npz (+ model dirs; oracle-vs-diffusers "
+          f"anchor {anchor:.2e})")
 
 
 if __name__ == "__main__":
