@@ -49,6 +49,14 @@ import time
 
 REF_4090_QPS = 5.0  # estimated reference throughput (see module docstring)
 REF_4090_QPS_5SHOT = 2.5  # 5-shot: 6 UNet streams + 12 VAE encodes/episode
+# Measured-denominator hook: cli/measure_baseline.py --subject reference
+# --write records the reference's MEASURED eval throughput here (per nshot);
+# when present it replaces the estimates above and records tag
+# baseline_source="measured".
+REF_QPS_FILE = os.environ.get(
+    "REF_QPS_FILE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "artifacts", "ref_qps.json"))
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "450"))
 PROBE_DEADLINE_S = float(os.environ.get("BENCH_PROBE_DEADLINE_S", "210"))
 T0 = time.monotonic()
@@ -66,6 +74,7 @@ _state = {
     "tag": "bf16",
     "batch": 8,
     "ref_qps": REF_4090_QPS,
+    "baseline_source": "estimate",  # "measured" once ref_qps.json exists
 }
 
 
@@ -80,10 +89,10 @@ def _stage(name: str) -> None:
     _log(f"stage: {name}")
 
 
-def _set_mode(tag: str, batch: int, ref_qps: float) -> None:
+def _set_mode(tag: str, batch: int, ref_qps: float, source: str) -> None:
     with _lock:
         _state["tag"], _state["batch"] = tag, batch
-        _state["ref_qps"] = ref_qps
+        _state["ref_qps"], _state["baseline_source"] = ref_qps, source
 
 
 def _metric_label(tag: str, batch: int) -> str:
@@ -107,11 +116,14 @@ def _emit(qps: float, tag: str, batch: int, ref_qps: float,
           note: str | None = None) -> None:
     """Print one JSON measurement line to stdout (the driver parses the
     tail; the last line printed wins)."""
+    with _lock:
+        source = _state["baseline_source"]
     rec = {
         "metric": _metric_label(tag, batch),
         "value": round(qps, 3),
         "unit": "queries/s",
         "vs_baseline": round(qps / ref_qps, 3),
+        "baseline_source": source,
     }
     if note:
         rec["note"] = note
@@ -211,12 +223,22 @@ def _build_predict(ucfg, vcfg, encode_chunks: int):
     return predict
 
 
-def _mode_from_argv() -> tuple[str, int, float]:
-    """Derive (tag, batch, ref_qps) purely from argv/env so the watchdog
-    knows the requested mode before any device work starts."""
+def _measured_ref_qps(nshot_key: str) -> float | None:
+    """The measured denominator from cli/measure_baseline.py, if recorded."""
+    try:
+        with open(REF_QPS_FILE) as f:
+            rec = json.load(f).get(nshot_key)
+        return float(rec["qps"]) if rec else None
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
+def _mode_from_argv() -> tuple[str, int, float, str]:
+    """Derive (tag, batch, ref_qps, baseline_source) purely from argv/env
+    so the watchdog knows the requested mode before any device work."""
     tiny = os.environ.get("BENCH_TINY") == "1"
     if tiny:
-        return "bf16-tiny", 2, REF_4090_QPS
+        return "bf16-tiny", 2, REF_4090_QPS, "estimate"
     tag = "bf16"
     if "int8" in sys.argv:
         tag = "int8-vae-dynamic" if "dynamic" in sys.argv else "int8-vae"
@@ -225,12 +247,16 @@ def _mode_from_argv() -> tuple[str, int, float]:
     five_shot = "5shot" in sys.argv
     if five_shot:
         tag += "-5shot"
-    return tag, 8, REF_4090_QPS_5SHOT if five_shot else REF_4090_QPS
+    measured = _measured_ref_qps("5shot" if five_shot else "1shot")
+    if measured:
+        return tag, 8, measured, "measured"
+    return (tag, 8, REF_4090_QPS_5SHOT if five_shot else REF_4090_QPS,
+            "estimate")
 
 
 def main() -> None:
-    tag, batch, ref_qps = _mode_from_argv()
-    _set_mode(tag, batch, ref_qps)
+    tag, batch, ref_qps, source = _mode_from_argv()
+    _set_mode(tag, batch, ref_qps, source)
     threading.Thread(target=_watchdog, daemon=True).start()
 
     _stage("import-jax")

@@ -18,6 +18,7 @@ Usage (mirrors `scripts/eval_coco2014_rthres_1shot_nosample.sh`):
 from __future__ import annotations
 
 import argparse
+import os
 import random
 import time
 
@@ -224,6 +225,15 @@ def evaluate(args, pipe=None, raw_images: bool = True) -> tuple[float, float]:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if os.environ.get("DIFFEWS_PLATFORM"):
+        # Subprocess escape hatch (same pattern as bench.py's
+        # BENCH_PLATFORM): this machine's sitecustomize pins
+        # JAX_PLATFORMS=axon and env vars cannot override it, but an
+        # in-process config update can — used by CI subprocess runs
+        # (e.g. tests/test_measure_baseline.py's dry run).
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["DIFFEWS_PLATFORM"])
     return evaluate(args)
 
 

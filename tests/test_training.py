@@ -452,3 +452,40 @@ class TestMultihostHelpers:
         assert np.array_equal(np.asarray(out["x"]), batch["x"])
         shards = out["x"].sharding.device_set
         assert len(shards) == 8
+
+
+@pytest.mark.slow
+def test_training_improves_miou():
+    """Train-to-capability (VERDICT r3 #1): through the REAL CLIs only,
+    a tiny model trained on learnable (correlated) synthetic COCO must
+    decisively beat its random-init baseline on held-out fold-0 episodes
+    under the reference's seeded eval protocol.  Bounded CI version of
+    tools/train_capability.py (the committed artifact runs 400 steps);
+    exercises the flash-VJP/fused-stream gradients + loader + optimizer +
+    checkpointing + evaluator in one loop."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+    import tempfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(tempfile.mkdtemp(prefix="cap_ci_"), "report.json")
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/diffews_tpu_jax_cache"))
+    p = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "train_capability.py"),
+         "--steps", "60", "--vae_steps", "200", "--episodes", "16",
+         "--validation_episodes", "4", "--out", out],
+        capture_output=True, text=True, env=env, timeout=3000)
+    assert p.returncode == 0, (p.stdout[-2000:], p.stderr[-2000:])
+    rep = _json.load(open(out))
+    # the pretrained VAE must be able to carry masks at all
+    assert rep["vae_pretrain"]["mask_roundtrip_iou"] > 0.8, rep
+    # the capability claim: decisive improvement over random init
+    assert rep["miou_trained"] >= 2 * rep["miou_random_init"], rep
+    assert rep["miou_trained"] - rep["miou_random_init"] >= 10.0, rep
+    # the mid-run validation hook fired (twice: steps//2 and steps)
+    assert len(rep["mid_run_validation"]) >= 2, rep
+    # loss moved
+    assert rep["loss_last"] < rep["loss_first"], rep

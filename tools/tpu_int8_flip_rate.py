@@ -27,10 +27,21 @@ protocol's own quantization noise.
 Usage: python tools/tpu_int8_flip_rate.py [--episodes 104] [--bsz 8]
            [--size 512] [--modes lsb,int8,int8u,cached] [--tiny]
            [--workdir /tmp/flip_rate_masks]
+           [--checkpoint DIR] [--unet_ckpt DIR] [--task_episodes]
 Each mode runs in its OWN subprocess (sequential — one TPU client at a
 time) and persists its masks to --workdir, so reruns reuse completed
 modes and a crashed mode costs only itself.
 Results recorded in PERF.md ("int8 accuracy dossier").
+
+--checkpoint/--unet_ckpt load real weights (diffusers layout; unet_ckpt
+overrides the unet subdir, like the eval CLI) instead of random init —
+used with the round-4 capability-trained tiny weights to bound the
+dossier's random-init caveat: random init concentrates probability mass
+near the decision threshold, so its flip rates should OVERESTIMATE the
+trained-weight effect.  --task_episodes swaps the smooth-noise episodes
+for correlated task-style ones (bright object on dim noise, the
+capability task's distribution) so trained weights are measured
+in-distribution.
 """
 
 import json
@@ -75,6 +86,28 @@ def _episodes(rng, n_ep, s):
             jnp.asarray(rng.uniform(-1, 1, (n_ep, 8, 8)).astype(np.float32)),
             (n_ep, s, s), "linear")) > 0.0
     return q, sup, m[:, None].astype(np.uint8)
+
+
+def _task_episodes(rng, n_ep, s):
+    """Correlated task-style episodes (the capability task's distribution:
+    dim noise background, bright noisy rectangle = the mask) so TRAINED
+    weights are measured in-distribution rather than on pure noise."""
+    def img_and_mask(n):
+        imgs = rng.integers(0, 90, (n, s, s, 3)).astype(np.uint8)
+        fg = rng.integers(170, 255, (n, s, s, 3)).astype(np.uint8)
+        masks = np.zeros((n, s, s), np.uint8)
+        for i in range(n):
+            r0, c0 = rng.integers(0, s // 2, 2)
+            r1 = rng.integers(r0 + s // 4, s + 1)
+            c1 = rng.integers(c0 + s // 4, s + 1)
+            masks[i, r0:r1, c0:c1] = 1
+            imgs[i][masks[i] > 0] = fg[i][masks[i] > 0]
+        return imgs, masks
+
+    q, qm = img_and_mask(n_ep)
+    del qm  # the flip-rate compares mode masks to each other, not to gt
+    sup, sm = img_and_mask(n_ep)
+    return q, sup[:, None], sm[:, None]
 
 
 def _run_mode(pipe, q, sup, msk, bsz, *, perturb=0, cached=False):
@@ -132,7 +165,8 @@ PIPE_KW = {
 }
 
 
-def _worker(mode, n_ep, bsz, s, tiny, out_npz):
+def _worker(mode, n_ep, bsz, s, tiny, out_npz, checkpoint=None,
+            unet_ckpt=None, task=False):
     """One mode end to end in THIS process; masks -> out_npz.
 
     Subprocess-per-mode is a hard requirement, not hygiene: the in-process
@@ -146,14 +180,20 @@ def _worker(mode, n_ep, bsz, s, tiny, out_npz):
     else:
         ucfg, vcfg, tcfg = (UNetConfig.sd21(), VAEConfig.sd(),
                             CLIPTextConfig.sd21())
-    up = jax.device_get(
-        jax.jit(lambda r: unet.init_params(r, ucfg))(jax.random.PRNGKey(0)))
-    vp = jax.device_get(
-        jax.jit(lambda r: vae.init_params(r, vcfg))(jax.random.PRNGKey(1)))
+    if checkpoint:
+        up, ucfg = ckpt_lib.load_unet(
+            unet_ckpt or os.path.join(checkpoint, "unet"))
+        vp, vcfg = ckpt_lib.load_vae(os.path.join(checkpoint, "vae"))
+    else:
+        up = jax.device_get(jax.jit(
+            lambda r: unet.init_params(r, ucfg))(jax.random.PRNGKey(0)))
+        vp = jax.device_get(jax.jit(
+            lambda r: vae.init_params(r, vcfg))(jax.random.PRNGKey(1)))
     bundle = ckpt_lib.PipelineBundle(up, ucfg, vp, vcfg, None, tcfg,
                                      SchedulerConfig.diffews())
     # identical episode tensors in every worker: fresh seeded rng
-    q, sup, msk = _episodes(np.random.default_rng(0), n_ep, s)
+    gen = _task_episodes if task else _episodes
+    q, sup, msk = gen(np.random.default_rng(0), n_ep, s)
     pipe = DiffewsPipeline(bundle, compute_dtype=jnp.bfloat16,
                            attn_impl="auto", **PIPE_KW[mode])
     got, dt = _run_mode(pipe, q, sup, msk, bsz,
@@ -176,10 +216,14 @@ def main():
         s = min(s, 32)
     workdir = (sys.argv[sys.argv.index("--workdir") + 1]
                if "--workdir" in sys.argv else "/tmp/flip_rate_masks")
+    checkpoint = _arg("--checkpoint", None, str)
+    unet_ckpt = _arg("--unet_ckpt", None, str)
+    task = "--task_episodes" in sys.argv
 
     if "--worker" in sys.argv:  # child: one mode, then exit
         _worker(sys.argv[sys.argv.index("--worker") + 1], n_ep, bsz, s,
-                tiny, sys.argv[sys.argv.index("--out") + 1])
+                tiny, sys.argv[sys.argv.index("--out") + 1],
+                checkpoint=checkpoint, unet_ckpt=unet_ckpt, task=task)
         return
 
     # Orchestrator: NO jax device use here (children need the chip claim).
@@ -192,9 +236,9 @@ def main():
           f"modes={modes}", flush=True)
 
     def mode_npz(mode):
-        return os.path.join(workdir,
-                            f"{mode}_{n_ep}x{s}_b{bsz}{'_t' if tiny else ''}"
-                            ".npz")
+        sfx = ("_t" if tiny else "") + ("_ck" if checkpoint else "") + \
+              ("_task" if task else "")
+        return os.path.join(workdir, f"{mode}_{n_ep}x{s}_b{bsz}{sfx}.npz")
 
     for mode in ["base"] + [m for m in modes if m != "base"]:
         out = mode_npz(mode)
@@ -204,6 +248,12 @@ def main():
         cmd = [sys.executable, os.path.abspath(__file__), "--worker", mode,
                "--out", out, "--episodes", str(n_ep), "--bsz", str(bsz),
                "--size", str(s)] + (["--tiny"] if tiny else [])
+        if checkpoint:
+            cmd += ["--checkpoint", checkpoint]
+        if unet_ckpt:
+            cmd += ["--unet_ckpt", unet_ckpt]
+        if task:
+            cmd += ["--task_episodes"]
         rc = subprocess.call(cmd)
         if rc != 0:
             raise SystemExit(f"worker for mode '{mode}' failed rc={rc}")

@@ -4,6 +4,19 @@ Validates the jitted train step (fwd+bwd with remat, bf16 compute, fp32
 master+Adam) fits HBM and measures step time at b1/gas1, 1-shot — the
 reference's canonical single-GPU configuration
 (`scripts/train_cocofold0_*.sh`: bs1 gas4 on a 24GB 4090).
+
+Two measurement modes (VERDICT r3 #4 — the repo's training-throughput
+numbers disagreed 2-3x because these were conflated):
+  * per-step-synced: every step host-reads its loss — each step pays the
+    full axon-tunnel round-trip and drains the dispatch pipeline (what the
+    565-738 ms CLAUDE.md figures measured).
+  * pipelined window: N steps dispatched back-to-back, ONE host read at
+    the end — the steady-state the real train CLI runs between logging
+    intervals (loss is read every --logging_steps only), and what the
+    sustained artifact's 246 ms/step windowed rate reflects.  Each step
+    still chains on the previous through the donated train state, so the
+    window time is N real sequential optimizer updates; only the
+    host<->device sync overhead is amortized.
 """
 
 import sys
@@ -59,8 +72,22 @@ def main(attn_impl="auto", reps=6):
         print(f"step: {ts[-1] * 1e3:.0f} ms loss={loss:.4f}", flush=True)
     stats = jax.devices()[0].memory_stats() or {}
     used = stats.get("bytes_in_use", 0) / (1 << 30)
-    print(f"steady step: {min(ts) * 1e3:.0f} ms ({1 / min(ts):.2f} steps/s), "
-          f"HBM in use {used:.1f} GiB", flush=True)
+    print(f"steady step (per-step-synced): {min(ts) * 1e3:.0f} ms "
+          f"({1 / min(ts):.2f} steps/s), HBM in use {used:.1f} GiB",
+          flush=True)
+
+    # pipelined window: dispatch N sequential steps, host-read once — the
+    # CLI's between-logging-intervals steady state (see module docstring)
+    n_win = reps * 2
+    batches = [mk(100 + i) for i in range(n_win)]
+    t0 = time.perf_counter()
+    for i, batch in enumerate(batches):
+        state, m = step(state, batch, jax.random.PRNGKey(100 + i), vp16, text)
+    loss = float(m["loss"])  # single honest sync: chains through all steps
+    dt = time.perf_counter() - t0
+    print(f"pipelined window: {n_win} steps in {dt:.2f}s -> "
+          f"{dt / n_win * 1e3:.0f} ms/step ({n_win / dt:.2f} steps/s) "
+          f"loss={loss:.4f}", flush=True)
 
 
 if __name__ == "__main__":
