@@ -143,12 +143,18 @@ class _Stats:
 class _MBItem:
     """One queued single-query request in the micro-batcher."""
 
-    __slots__ = ("q", "event", "seg", "error")
+    __slots__ = ("q", "event", "seg", "mask", "error", "r_thr", "thr",
+                 "need_seg")
 
-    def __init__(self, q: np.ndarray):
+    def __init__(self, q: np.ndarray, r_thr: float = 0.0, thr: float = 0.0,
+                 need_seg: bool = True):
         self.q = q
+        self.r_thr = r_thr
+        self.thr = thr
+        self.need_seg = need_seg
         self.event = threading.Event()
         self.seg = None
+        self.mask = None
         self.error = None
 
 
@@ -238,11 +244,13 @@ class ModelServer:
             self._inflight.release()
             raise
 
-    def _await(self, pend):
+    def _await(self, pend, **result_kw):
         """Wait for a `_dispatch_pipelined` handle outside the device lock
-        (device execution + host transfer overlap the next dispatch)."""
+        (device execution + host transfer overlap the next dispatch).
+        result_kw forwards to `PendingSeg.result` (e.g. need_seg=False
+        for masks-only transfers)."""
         try:
-            return pend.result()
+            return pend.result(**result_kw)
         finally:
             self._inflight.release()
 
@@ -396,10 +404,12 @@ class ModelServer:
         if body.get("encoding", "png") not in ("png", "raw"):
             raise ServeError(400, "encoding must be 'png' or 'raw'")
         q, sizes = self._decode_images(queries)
+        need_seg = bool(body.get("return_seg"))
 
         cache_id = body.get("cache_id")
         if cache_id is not None:
-            preds = self._segment_cached(q, cache_id, r_thr, thr)
+            preds = self._segment_cached(q, cache_id, r_thr, thr,
+                                         need_seg=need_seg)
         else:
             supports = _as_list(body.get("supports") or [])
             masks = _as_list(body.get("masks") or [])
@@ -408,7 +418,8 @@ class ModelServer:
                                       "'supports' and 'masks'")
             sup, _ = self._decode_images(supports)
             msk = self._decode_masks(masks)
-            preds = self._segment_episode(q, sup, msk, r_thr, thr)
+            preds = self._segment_episode(q, sup, msk, r_thr, thr,
+                                          need_seg=need_seg)
         self.stats.add_queries(len(queries))
 
         def _enc(arr: np.ndarray):
@@ -450,29 +461,40 @@ class ModelServer:
             q = np.concatenate([q, np.repeat(q[-1:], self.bsz - n, axis=0)])
         return q, n
 
-    def _segment_cached(self, q, cache_id, r_thr, thr):
+    def _segment_cached(self, q, cache_id, r_thr, thr, need_seg=True):
         if self.artifact is not None:
             raise ServeError(400, "artifact mode has no support cache")
         if self.batch_window > 0 and q.shape[0] == 1:
-            return self._segment_cached_batched(q, cache_id, r_thr, thr)
+            return self._segment_cached_batched(q, cache_id, r_thr, thr,
+                                                need_seg)
         qp, n = self._pad_batch(q)
         cache = self._get_cache(cache_id)
+        # mask_on_device + need_seg=False: the default masks-only response
+        # transfers the packed bool mask instead of the full uint8 seg
+        # (~24x fewer d2h bytes — pipeline.device_mask_from_seg)
         out = self._await(self._dispatch_pipelined(
             lambda: self.pipe.predict_cached_async(qp, cache,
                                                    r_threshold=r_thr,
-                                                   threshold=thr)))
+                                                   threshold=thr,
+                                                   mask_on_device=True)),
+                          need_seg=need_seg)
         return _slice_out(out, n)
 
-    def _segment_cached_batched(self, q, cache_id, r_thr, thr):
+    def _segment_cached_batched(self, q, cache_id, r_thr, thr,
+                                need_seg=True):
         """Coalesce concurrent single-query requests on one cache.
 
         The first arrival becomes the leader: it sleeps the window, drains
         whatever queued behind it (in bsz chunks), runs ONE device call per
-        chunk, and hands each waiter its row.  Thresholding is per-item
-        host math (identical to PendingSeg.result()'s per-row formula), so
-        items with different thresholds still share a device call.
+        chunk, and hands each waiter its row.  Thresholding runs IN-GRAPH
+        on the chunk's device seg image, one tiny mask stage per distinct
+        (r_threshold, threshold) pair among the chunk's items (normally
+        one), so the masks-only common case transfers packed bool rows
+        instead of the full uint8 seg (~24× fewer d2h bytes); the seg
+        image itself is transferred only if some item asked for it (or
+        has no threshold at all).
         """
-        item = _MBItem(q)
+        item = _MBItem(q, r_thr, thr, need_seg)
         with self._mb_lock:
             queue = self._mb_queues.setdefault(cache_id, [])
             queue.append(item)
@@ -482,6 +504,8 @@ class ModelServer:
             with self._mb_lock:
                 batch = self._mb_queues.pop(cache_id, [])
             try:
+                from diffews_tpu import pipeline as P
+
                 for i in range(0, len(batch), self.bsz):
                     chunk = batch[i:i + self.bsz]
                     qp, n = self._pad_batch(
@@ -490,11 +514,34 @@ class ModelServer:
                     # dispatch under the lock, wait outside it: while this
                     # batch executes/transfers, the next window's leader
                     # (or a one-off request) dispatches behind it
-                    out = self._await(self._dispatch_pipelined(
+                    pend = self._dispatch_pipelined(
                         lambda qp=qp, cache=cache:
-                            self.pipe.predict_cached_async(qp, cache)))
+                            self.pipe.predict_cached_async(qp, cache))
+                    try:
+                        img_dev = pend._img
+                        pairs = {(it.r_thr, it.thr) for it in chunk
+                                 if it.r_thr > 0 or it.thr > 0}
+                        masks = {}
+                        for (pr, pt) in pairs:
+                            rel = pr > 0
+                            masks[(pr, pt)] = np.asarray(
+                                P.device_mask_from_seg(
+                                    img_dev,
+                                    float(pr if rel else pt), rel))
+                        seg_host = None
+                        if any(it.need_seg or (it.r_thr <= 0 and
+                                               it.thr <= 0)
+                               for it in chunk):
+                            seg_host = np.asarray(img_dev)
+                    finally:
+                        # np.asarray blocked until device completion: safe
+                        # to free the in-flight slot _await would release
+                        self._inflight.release()
                     for j, it in enumerate(chunk):
-                        it.seg = out.seg_colored[j:j + 1]
+                        m = masks.get((it.r_thr, it.thr))
+                        it.mask = None if m is None else m[j:j + 1]
+                        it.seg = (None if seg_host is None
+                                  else seg_host[j:j + 1])
                         it.event.set()
             except Exception as e:
                 for it in batch:
@@ -505,14 +552,11 @@ class ModelServer:
             raise ServeError(503, "batched request timed out")
         if item.error is not None:
             raise item.error
-        # per-item threshold via the pipeline's own host formula (the seg
-        # row is already on the host, so .result() is pure math) — one
-        # implementation of the threshold rule, not a copy
-        from diffews_tpu.pipeline import PendingSeg
+        from diffews_tpu.pipeline import SegOutput
 
-        return PendingSeg(item.seg, r_thr, thr).result()
+        return SegOutput(seg_colored=item.seg, mask=item.mask)
 
-    def _segment_episode(self, q, sup, msk, r_thr, thr):
+    def _segment_episode(self, q, sup, msk, r_thr, thr, need_seg=True):
         qp, n = self._pad_batch(q)
         ns = sup.shape[0]
         if ns > self.nshot:
@@ -532,7 +576,8 @@ class ModelServer:
         def dispatch():
             if self.artifact is not None:
                 # the exported program's signature is frozen at uint8
-                # {0,1} masks (serving.export_predict specs)
+                # {0,1} masks (serving.export_predict specs); the exported
+                # graph ends at the seg image, so thresholding stays host
                 img = self.artifact(qp, supb, mskb.astype(np.uint8),
                                     shot_mask)
                 from diffews_tpu.pipeline import PendingSeg
@@ -540,14 +585,19 @@ class ModelServer:
                 return PendingSeg(img, r_thr, thr)
             return self.pipe.predict_async(qp, supb, mskb,
                                            shot_mask=shot_mask,
-                                           r_threshold=r_thr, threshold=thr)
+                                           r_threshold=r_thr, threshold=thr,
+                                           mask_on_device=True)
 
-        out = self._await(self._dispatch_pipelined(dispatch))
+        # artifact PendingSeg has no device mask -> need_seg is a no-op
+        # there (the host formula needs the seg anyway)
+        out = self._await(self._dispatch_pipelined(dispatch),
+                          need_seg=need_seg)
         return _slice_out(out, n)
 
 
 def _slice_out(out, n: int):
-    out.seg_colored = out.seg_colored[:n]
+    if out.seg_colored is not None:
+        out.seg_colored = out.seg_colored[:n]
     if out.mask is not None:
         out.mask = out.mask[:n]
     return out

@@ -549,8 +549,15 @@ class DiffewsPipeline:
         out_size: Optional[Tuple[int, int]] = None,
         r_threshold: float = 0.0,
         threshold: float = 0.0,
+        mask_on_device: bool = False,
     ) -> "PendingSeg":
         """Dispatch an episode without waiting for the device.
+
+        mask_on_device=True additionally runs the threshold rule in-graph
+        (`device_mask_from_seg`) so `.result(need_seg=False)` transfers
+        the packed bool mask only (~24× fewer device→host bytes; the
+        serving daemon's default masks-only responses use this).  The
+        eval harness keeps the host formula (default False).
 
         Returns a `PendingSeg`; call `.result()` for the `SegOutput`.  JAX
         dispatch is asynchronous, so the caller can enqueue the next episode
@@ -594,7 +601,17 @@ class DiffewsPipeline:
 
         if out_size is not None and tuple(img.shape[1:3]) != tuple(out_size):
             img = nearest_resize(img, tuple(out_size))
-        return PendingSeg(img, r_threshold, threshold)
+        return PendingSeg(img, r_threshold, threshold,
+                          mask_device=self._maybe_device_mask(
+                              img, r_threshold, threshold, mask_on_device))
+
+    @staticmethod
+    def _maybe_device_mask(img, r_threshold, threshold, mask_on_device):
+        if not mask_on_device or (r_threshold <= 0 and threshold <= 0):
+            return None
+        rel = r_threshold > 0
+        return device_mask_from_seg(
+            img, jnp.float32(r_threshold if rel else threshold), rel)
 
     def precompute_supports(
         self,
@@ -666,8 +683,12 @@ class DiffewsPipeline:
         out_size: Optional[Tuple[int, int]] = None,
         r_threshold: float = 0.0,
         threshold: float = 0.0,
+        mask_on_device: bool = False,
     ) -> "PendingSeg":
         """Dispatch queries against a precomputed `SupportCache`.
+
+        mask_on_device: as in `predict_async` — in-graph threshold, so
+        masks-only consumers skip the full seg-image transfer.
 
         Computes the same math as `predict` with the same support set (the
         support stream is batch-independent of the query stream, so its
@@ -707,7 +728,9 @@ class DiffewsPipeline:
         )
         if out_size is not None and tuple(img.shape[1:3]) != tuple(out_size):
             img = nearest_resize(img, tuple(out_size))
-        return PendingSeg(img, r_threshold, threshold)
+        return PendingSeg(img, r_threshold, threshold,
+                          mask_device=self._maybe_device_mask(
+                              img, r_threshold, threshold, mask_on_device))
 
     def predict_cached(self, *args, **kw) -> SegOutput:
         """Blocking form of `predict_cached_async`."""
@@ -818,15 +841,57 @@ class DiffewsPipeline:
         )
 
 
+@partial(jax.jit, static_argnames=("relative",))
+def device_mask_from_seg(img_u8: jax.Array, thr: jax.Array,
+                         relative: bool) -> jax.Array:
+    """In-graph replay of `PendingSeg.result()`'s threshold arithmetic
+    (reference `main_oss.py:128-137`): p = uint8/255; relative=True uses
+    the per-episode threshold max(p)·thr, else the absolute thr.  Returns
+    bool (B, H, W).
+
+    Serving lever: the default `/v1/segment` response is masks-only, so
+    transferring the bool mask instead of the full uint8 seg image cuts
+    device→host bytes ~24× (6.3 MB → 0.26 MB per 512px b8 batch — on the
+    axon tunnel at ~20 MB/s that is ~300 ms/batch of pure waste; on PCIe
+    it is still bandwidth).  Same f32 ops as the host formula; a decision
+    differs only on an exact-tie ulp boundary (pinned ==host in
+    tests/test_cached_serving.py on random uint8)."""
+    # Replicate numpy's arithmetic EXACTLY: pairwise sum (a+b)+c, then TRUE
+    # divisions.  Two ulp traps found by the equality test: jnp.mean
+    # multiplies by a reciprocal, and XLA's algebraic simplifier strength-
+    # reduces division by a CONSTANT to reciprocal-multiply — both flip
+    # ~0.2% of decisions at tie pixels.  optimization_barrier hides the
+    # constants so the divides stay real divides.  (Pinned ==host on the
+    # CPU backend; a TPU ulp-tie divergence remains possible in principle
+    # — the serving path is opt-in and self-consistent either way.)
+    c255 = jax.lax.optimization_barrier(jnp.float32(255.0))
+    c3 = jax.lax.optimization_barrier(jnp.float32(3.0))
+    p = img_u8.astype(jnp.float32) / c255
+    pm = ((p[..., 0] + p[..., 1]) + p[..., 2]) / c3
+    if relative:
+        t = p.reshape(p.shape[0], -1).max(axis=1) * thr
+    else:
+        t = jnp.broadcast_to(thr, (p.shape[0],))
+    return pm > t[:, None, None]
+
+
 class PendingSeg:
     """In-flight segmentation prediction (device array + threshold params)."""
 
-    def __init__(self, img_device: jax.Array, r_threshold: float, threshold: float):
+    def __init__(self, img_device: jax.Array, r_threshold: float,
+                 threshold: float, mask_device: Optional[jax.Array] = None):
         self._img = img_device
         self._r_threshold = r_threshold
         self._threshold = threshold
+        self._mask_dev = mask_device
 
-    def result(self) -> SegOutput:
+    def result(self, need_seg: bool = True) -> SegOutput:
+        if self._mask_dev is not None:
+            # mask computed in-graph (device_mask_from_seg): transfer the
+            # packed bool mask, and the seg image only when asked for
+            mask = np.asarray(self._mask_dev)
+            seg = np.asarray(self._img) if need_seg else None
+            return SegOutput(seg_colored=seg, mask=mask)
         seg = np.asarray(self._img)  # host transfer = the only sync point
         mask = None
         if self._r_threshold > 0 or self._threshold > 0:

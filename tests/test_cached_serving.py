@@ -279,3 +279,42 @@ class TestDataParallelCachedServing:
         _assert_uint8_close(got.seg_colored, want.seg_colored)
         sh = jax.tree_util.tree_leaves(cache_dp.entries)[0].sharding
         assert not sh.is_fully_replicated  # batch dim carries P("data")
+
+
+class TestDeviceMask:
+    """pipeline.device_mask_from_seg: the in-graph threshold (serving's
+    masks-only transfer path) must reproduce PendingSeg.result()'s host
+    formula exactly."""
+
+    def test_unit_matches_host_formula(self):
+        from diffews_tpu import pipeline as P
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (4, 24, 24, 3), dtype=np.uint8)
+        for r_thr, thr in [(0.25, 0.0), (0.5, 0.0), (0.0, 0.4)]:
+            host = P.PendingSeg(jnp.asarray(img), r_thr, thr).result().mask
+            rel = r_thr > 0
+            dev = np.asarray(P.device_mask_from_seg(
+                jnp.asarray(img), float(r_thr if rel else thr), rel))
+            np.testing.assert_array_equal(dev, host)
+
+    def test_predict_cached_mask_on_device(self, pipe):
+        q, sup, msk = _episode(b=2, n=1, seed=5)
+        cache = pipe.precompute_supports(sup, msk)
+        host = pipe.predict_cached_async(q, cache, r_threshold=0.25).result()
+        dev = pipe.predict_cached_async(
+            q, cache, r_threshold=0.25, mask_on_device=True).result(
+                need_seg=False)
+        np.testing.assert_array_equal(dev.mask, host.mask)
+        assert dev.seg_colored is None  # masks-only: no seg transfer
+        # need_seg=True still ships the identical seg image
+        both = pipe.predict_cached_async(
+            q, cache, r_threshold=0.25, mask_on_device=True).result()
+        np.testing.assert_array_equal(both.seg_colored, host.seg_colored)
+
+    def test_predict_async_mask_on_device_absolute_thr(self, pipe):
+        q, sup, msk = _episode(b=1, n=1, seed=6)
+        host = pipe.predict_async(q, sup, msk, threshold=0.4).result()
+        dev = pipe.predict_async(q, sup, msk, threshold=0.4,
+                                 mask_on_device=True).result(need_seg=False)
+        np.testing.assert_array_equal(dev.mask, host.mask)

@@ -174,17 +174,25 @@ def main():
                   f"({100 * ddev / wall:.0f}% device-lock occupancy)",
                   flush=True)
 
-    def replay():
+    def replay(n_clients=None, win_ms=None, n_reqs=None):
         # pre-decoded arrays straight into the micro-batcher (no HTTP/codec)
+        n_clients = clients if n_clients is None else n_clients
+        n_reqs = reqs if n_reqs is None else n_reqs
+        if win_ms is not None:
+            ms.batch_window = win_ms / 1000.0  # sweep the coalescing window
+        win_now = int(ms.batch_window * 1000)
         frames_np = [np.ascontiguousarray(f) for f in frames]
         done, errs = [], []
 
         def client(k):
-            for i in range(reqs):
+            for i in range(n_reqs):
                 try:
                     tr = time.perf_counter()
+                    # masks-only, like the default HTTP response (no
+                    # return_seg): the device-mask path transfers the
+                    # packed bool rows, not the full seg image
                     ms._segment_cached(frames_np[(k + i) % 4][None], cid,
-                                       0.25, 0.0)
+                                       0.25, 0.0, need_seg=False)
                     done.append(time.perf_counter() - tr)
                 except Exception as e:  # noqa: BLE001
                     errs.append(e)
@@ -192,7 +200,7 @@ def main():
         dev0 = ms.stats.snapshot()["device_s"]
         t0 = time.perf_counter()
         threads = [threading.Thread(target=client, args=(k,))
-                   for k in range(clients)]
+                   for k in range(n_clients)]
         [t.start() for t in threads]
         [t.join() for t in threads]
         wall = time.perf_counter() - t0
@@ -202,8 +210,8 @@ def main():
         lat = sorted(done)
         p50 = lat[(len(lat) - 1) // 2] if lat else float("nan")
         print(f"serve_replay_qps={len(done) / wall:.2f} "
-              f"(clients={clients} reqs={reqs} window_ms={window} bsz={b}; "
-              f"p50={p50*1e3:.0f}ms; Δdevice_s={ddev:.1f} "
+              f"(clients={n_clients} reqs={n_reqs} window_ms={win_now} "
+              f"bsz={b}; p50={p50*1e3:.0f}ms; Δdevice_s={ddev:.1f} "
               f"device_lock_occupancy={100 * ddev / wall:.0f}%)", flush=True)
 
     def host_codec():
@@ -228,7 +236,18 @@ def main():
 
     if "--host_codec" in sys.argv:
         host_codec()
-    if "--replay" in sys.argv:
+    if "--replay_sweep" in sys.argv:
+        # in-process sweep "clients:window_ms,..." — one compile, N
+        # measurements (the only A/B worth trusting on the tunnel); a
+        # clients=1 window=0 leg isolates the machinery floor (no
+        # coalescing, no thread contention), scaling legs separate GIL
+        # contention from per-request machinery cost
+        spec = sys.argv[sys.argv.index("--replay_sweep") + 1]
+        for part in spec.split(","):
+            c_str, w_str = part.split(":")
+            replay(n_clients=int(c_str), win_ms=int(w_str),
+                   n_reqs=max(reqs, 96 // max(int(c_str), 1)))
+    elif "--replay" in sys.argv:
         replay()
     elif "--ab" in sys.argv:     # same-process A/B: png then raw then png
         for mode in ("png", "raw", "png"):
