@@ -304,6 +304,11 @@ def main() -> None:
 
         fn, args = entry()
         unet_params, vae_params = args[0], args[1]
+        # drop the example-args tuple: in int8 modes the quantized copies
+        # coexist with these originals, and the dangling reference kept
+        # ~1.7 GB of bf16 trees alive — enough to OOM the 5-shot chained
+        # stage's device-resident batches on 16 GB
+        del args
 
     five_shot = "5shot" in sys.argv and not tiny
     if "int8" in sys.argv and not tiny:
