@@ -64,6 +64,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dispatch_ahead", type=int, default=2,
                    help="episodes kept in flight on the device; host metric "
                         "work overlaps device compute (1 = synchronous)")
+    p.add_argument("--mask_on_device", action="store_true",
+                   help="compute the threshold rule in-graph and transfer "
+                        "only the packed bool mask (~24x fewer d2h bytes "
+                        "per episode; pipeline.device_mask_from_seg). "
+                        "OPT-IN: pinned ulp-exact against the host formula "
+                        "on CPU, but a TPU ulp-tie divergence is possible "
+                        "in principle, so the default protocol keeps host "
+                        "thresholding")
     p.add_argument("--num_shot_shards", type=int, default=1,
                    help="shard each episode's SUPPORT SHOTS over this many "
                         "chips (a jax.sharding 'shots' mesh; must divide "
@@ -172,7 +180,10 @@ def evaluate(args, pipe=None, raw_images: bool = True) -> tuple[float, float]:
     def drain_one():
         nonlocal n_done
         idx, batch, pending = in_flight.pop(0)
-        pred = pending.result().mask.astype(np.int64)
+        # need_seg=False: scoring and visualization only use the mask; the
+        # host-threshold path still transfers the seg (it computes the mask
+        # from it), the --mask_on_device path skips that transfer entirely
+        pred = pending.result(need_seg=False).mask.astype(np.int64)
         inter, union = Evaluator.classify_prediction(
             pred, batch["query_mask"], batch.get("query_ignore_idx")
         )
@@ -210,6 +221,7 @@ def evaluate(args, pipe=None, raw_images: bool = True) -> tuple[float, float]:
             out_size=tuple(np.asarray(batch["query_mask"]).shape[-2:]),
             r_threshold=args.r_threshold,
             threshold=args.threshold if args.r_threshold <= 0 else 0.0,
+            mask_on_device=args.mask_on_device,
         )))
         if len(in_flight) >= depth:
             drain_one()

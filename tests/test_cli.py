@@ -480,3 +480,23 @@ def test_evaluate_cli_every_benchmark(workdir, tmp_path, benchmark, builder,
                if d.startswith(f"_TEST_{benchmark}_")]
     assert logdirs and os.path.exists(
         tmp_path / "logs" / logdirs[0] / "log.txt")
+
+
+def test_evaluate_cli_mask_on_device_matches_host(workdir):
+    """--mask_on_device (in-graph threshold, masks-only d2h) must score
+    identically to the default host-threshold protocol (ulp-exact on the
+    CPU backend; pipeline.device_mask_from_seg)."""
+    from diffews_tpu.cli.evaluate import main
+
+    base_argv = [
+        "--checkpoint", str(workdir / "ckpt"),
+        "--datapath", str(workdir / "data"),
+        "--benchmark", "coco", "--fold", "0", "--nshot", "1",
+        "--img-size", "32", "--denoise_steps", "1", "--ensemble_size", "1",
+        "--threshold", "0", "--r_threshold", "0.25",
+        "--log-root", str(workdir / "logs_mod"),
+        "--max_episodes", "3",
+    ]
+    host = main(base_argv)
+    dev = main(base_argv + ["--mask_on_device"])
+    assert host == dev

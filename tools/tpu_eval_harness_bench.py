@@ -37,6 +37,10 @@ def main():
                          "RNG order; overlaps PIL with device compute). "
                          "Comma-separated list = in-process A/B sweep "
                          "(one compile, N measurements)")
+    ap.add_argument("--mask_modes", type=str, default="host",
+                    help="comma list of host|device: in-process A/B of "
+                         "--mask_on_device (in-graph threshold, packed-"
+                         "bool d2h instead of the full seg image)")
     args = ap.parse_args()
 
     import jax
@@ -86,23 +90,25 @@ def main():
         syn.make_coco(data, imgs_per_class=3)
         n_batches = max(1, args.episodes // args.bsz)
         for nworker in args.nworker.split(","):
-            eargs = E.build_parser().parse_args([
-                "--checkpoint", "/nonexistent-injected",
-                "--datapath", data, "--benchmark", "coco", "--fold", "0",
-                "--nshot", str(args.nshot), "--img-size", str(args.img_size),
-                "--bsz", str(args.bsz), "--r_threshold", "0.25",
-                "--nworker", nworker,
-                "--half_precision", "--denoise_steps", "1",
-                "--log-root", os.path.join(root, "logs"),
-                "--dispatch_ahead", str(args.dispatch_ahead),
-                "--max_episodes", str(n_batches),
-            ])
-            t0 = time.time()
-            E.evaluate(eargs, pipe=pipe, raw_images=not args.float_ingest)
-            total = time.time() - t0
-            print(f"[harness] nworker={nworker}: {total:.1f}s "
-                  f"({n_batches * args.bsz} episodes, "
-                  f"{n_batches * args.bsz / total:.2f} ep/s)", flush=True)
+            for mm in args.mask_modes.split(","):
+                eargs = E.build_parser().parse_args([
+                    "--checkpoint", "/nonexistent-injected",
+                    "--datapath", data, "--benchmark", "coco", "--fold", "0",
+                    "--nshot", str(args.nshot),
+                    "--img-size", str(args.img_size),
+                    "--bsz", str(args.bsz), "--r_threshold", "0.25",
+                    "--nworker", nworker,
+                    "--half_precision", "--denoise_steps", "1",
+                    "--log-root", os.path.join(root, "logs"),
+                    "--dispatch_ahead", str(args.dispatch_ahead),
+                    "--max_episodes", str(n_batches),
+                ] + (["--mask_on_device"] if mm == "device" else []))
+                t0 = time.time()
+                E.evaluate(eargs, pipe=pipe, raw_images=not args.float_ingest)
+                total = time.time() - t0
+                print(f"[harness] nworker={nworker} mask={mm}: {total:.1f}s "
+                      f"({n_batches * args.bsz} episodes, "
+                      f"{n_batches * args.bsz / total:.2f} ep/s)", flush=True)
 
 
 if __name__ == "__main__":
