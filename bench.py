@@ -412,7 +412,10 @@ def main() -> None:
     # 1x v5e (tools/tpu_dispatch_depth.py): depth 1 = 8.6 q/s, depth 2
     # = 17.4 q/s (the tunnel sync costs ~0.5 s/batch and pipelining
     # hides it); depth 4 adds nothing.
-    k_batches = 6
+    # int8 at 5-shot: the W8A8 episode's peak HBM + 6 device-resident
+    # 5-shot batches (~830 MB) OOMs 16 GB (observed twice, round 4);
+    # 4 batches keep the chained methodology with enough pipelining
+    k_batches = 4 if (five_shot and "int8" in sys.argv) else 6
     inputs = [mk(i + 1) for i in range(k_batches)]
     for i, inp in enumerate(inputs):  # force h2d before timing (lazy
         for a in inp:                 # uploads pollute the measurement)
