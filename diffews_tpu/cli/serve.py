@@ -187,12 +187,27 @@ class ModelServer:
     def __init__(self, pipe=None, artifact=None, *, bsz: int, nshot: int,
                  img_size: int, r_threshold: float, max_caches: int = 8,
                  batch_window_ms: float = 0.0, dispatch_depth: int = 2,
-                 max_body_mb: float = 64.0, model_desc: str = ""):
+                 max_body_mb: float = 64.0, model_desc: str = "",
+                 batch_buckets: str = ""):
         assert (pipe is None) != (artifact is None)
         self.max_body_bytes = int(max_body_mb * 1024 * 1024)
         self.pipe = pipe
         self.artifact = artifact
         self.bsz = bsz
+        # Batch-size buckets (pipe mode only — artifact shapes are frozen):
+        # a request/window of n queries pads to the smallest bucket >= n
+        # instead of always to bsz, cutting padded-batch waste at partial
+        # load.  Each bucket compiles its own episode program on first use
+        # (a one-time latency hiccup per bucket; warm them upfront for
+        # latency-sensitive deployments).
+        self.buckets = [bsz]
+        if batch_buckets and pipe is not None:
+            bks = sorted({int(x) for x in batch_buckets.split(",")
+                          if x.strip()})
+            if any(b < 1 or b > bsz for b in bks):
+                raise ValueError(f"batch_buckets {bks} must lie in "
+                                 f"[1, bsz={bsz}]")
+            self.buckets = sorted(set(bks) | {bsz})
         self.nshot = nshot
         self.img_size = img_size
         self.r_threshold = r_threshold
@@ -457,8 +472,9 @@ class ModelServer:
         if n > self.bsz:
             raise ServeError(400, f"{n} queries > server batch {self.bsz}; "
                                   f"split the request")
-        if n < self.bsz:
-            q = np.concatenate([q, np.repeat(q[-1:], self.bsz - n, axis=0)])
+        cap = next(b for b in self.buckets if b >= n)  # sorted; bsz last
+        if n < cap:
+            q = np.concatenate([q, np.repeat(q[-1:], cap - n, axis=0)])
         return q, n
 
     def _segment_cached(self, q, cache_id, r_thr, thr, need_seg=True):
@@ -562,16 +578,17 @@ class ModelServer:
         if ns > self.nshot:
             raise ServeError(400, f"{ns} supports > server nshot "
                                   f"{self.nshot}")
+        nb = qp.shape[0]  # the padded bucket size (== bsz without buckets)
         shot_mask = None
         if ns < self.nshot:  # pad + validity mask (static shapes under jit)
             pad = np.repeat(sup[-1:], self.nshot - ns, axis=0)
             sup = np.concatenate([sup, pad])
             msk = np.concatenate(
                 [msk, np.repeat(msk[-1:], self.nshot - ns, axis=0)])
-            shot_mask = np.zeros((self.bsz, self.nshot), bool)
+            shot_mask = np.zeros((nb, self.nshot), bool)
             shot_mask[:, :ns] = True
-        supb = np.broadcast_to(sup[None], (self.bsz,) + sup.shape)
-        mskb = np.broadcast_to(msk[None], (self.bsz,) + msk.shape)
+        supb = np.broadcast_to(sup[None], (nb,) + sup.shape)
+        mskb = np.broadcast_to(msk[None], (nb,) + msk.shape)
 
         def dispatch():
             if self.artifact is not None:
@@ -752,6 +769,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(0 = off); adds up to this much latency per "
                         "request, multiplies throughput up to --bsz under "
                         "concurrent load")
+    p.add_argument("--batch_buckets", type=str, default="",
+                   help="comma list of batch sizes (e.g. '1,2,4') to pad "
+                        "partial batches/windows to, instead of always "
+                        "--bsz: cuts padded-batch compute waste at light "
+                        "load. Each bucket compiles its own program on "
+                        "first use (one-time hiccup). Pipe mode only")
     p.add_argument("--dispatch_depth", type=int, default=2,
                    help="in-flight device results; dispatch serializes on "
                         "the lock but requests wait outside it, so the "
@@ -842,7 +865,8 @@ def make_server(args) -> ModelServer:
                        batch_window_ms=args.batch_window_ms,
                        dispatch_depth=args.dispatch_depth,
                        max_body_mb=args.max_body_mb,
-                       model_desc=args.checkpoint)
+                       model_desc=args.checkpoint,
+                       batch_buckets=args.batch_buckets)
 
 
 class _DrainingHTTPServer(ThreadingHTTPServer):

@@ -700,3 +700,37 @@ def test_sigterm_graceful_drain(tmp_path):
         if proc.poll() is None:
             proc.kill()
             proc.communicate()
+
+
+def test_batch_buckets_match_full_padding(pipe):
+    """--batch_buckets: partial batches pad to the smallest bucket instead
+    of bsz; results must equal the always-pad-to-bsz server (same math —
+    the cached-episode program is batch-independent per row; note the
+    <=1-uint8-step VAE fusion caveat applies to SEG images, but masks on
+    the tiny CPU configs compare equal here)."""
+    msb = serve.ModelServer(pipe=pipe, bsz=4, nshot=1, img_size=S,
+                            r_threshold=0.25, model_desc="tiny",
+                            batch_buckets="1,2")
+    msf = serve.ModelServer(pipe=pipe, bsz=4, nshot=1, img_size=S,
+                            r_threshold=0.25, model_desc="tiny")
+    assert msb.buckets == [1, 2, 4]
+    body = {"images": [_b64_png(_rgb(90))], "masks": [_b64_png(_mask(91))]}
+    cidb = msb.add_supports(body)["cache_id"]
+    cidf = msf.add_supports(body)["cache_id"]
+    for nq in (1, 2, 3, 4):
+        q = np.stack([_rgb(95 + i) for i in range(nq)])
+        # _pad_batch pads to the bucket, result slices back to nq
+        qb, nb = msb._pad_batch(q)
+        assert nb == nq and qb.shape[0] == {1: 1, 2: 2, 3: 4, 4: 4}[nq]
+        got = msb.segment({"query": [_b64_png(qi) for qi in q],
+                           "cache_id": cidb})
+        want = msf.segment({"query": [_b64_png(qi) for qi in q],
+                            "cache_id": cidf})
+        assert got["masks"] == want["masks"]
+
+
+def test_batch_buckets_rejected_out_of_range(pipe):
+    with pytest.raises(ValueError, match="batch_buckets"):
+        serve.ModelServer(pipe=pipe, bsz=2, nshot=1, img_size=S,
+                          r_threshold=0.25, model_desc="tiny",
+                          batch_buckets="1,8")

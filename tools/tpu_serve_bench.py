@@ -76,9 +76,11 @@ def main():
     pipe = DiffewsPipeline(bundle, compute_dtype=jnp.bfloat16)
     del up, vp, bundle
 
+    buckets = "1,2,4" if "--buckets" in sys.argv else ""
     ms = serve.ModelServer(pipe=pipe, bsz=b, nshot=1, img_size=s,
                            r_threshold=0.25, batch_window_ms=window,
-                           model_desc="random-init sd21")
+                           model_desc="random-init sd21",
+                           batch_buckets=buckets)
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve.make_handler(ms))
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     base = f"http://127.0.0.1:{httpd.server_address[1]}"
@@ -109,6 +111,15 @@ def main():
     t0 = time.perf_counter()
     post("/v1/segment", {"query": png(frames[0]), "cache_id": cid})
     print(f"warmup (compile): {time.perf_counter() - t0:.1f}s", flush=True)
+    for bucket in ms.buckets[:-1]:
+        # warm every bucket program upfront so the sweep measures steady
+        # state, not first-use compiles (the window=0 single-query path
+        # pads to bucket 1; the full-batch warmup above covered bsz)
+        t0 = time.perf_counter()
+        ms._segment_cached(
+            np.stack([frames[0]] * bucket), cid, 0.25, 0.0, need_seg=False)
+        print(f"bucket {bucket} warm: {time.perf_counter() - t0:.1f}s",
+              flush=True)
 
     def sweep(mode):
         # mode "png": b64-PNG queries + PNG response; "raw": raw tensor
