@@ -23,7 +23,7 @@ def _save_rgb(path, rng, size=(40, 30)):
 
 
 def make_coco(root: str, n_classes: int = 80, imgs_per_class: int = 3, seed: int = 0,
-              correlated: bool = False):
+              correlated=False):
     """COCO2014 tree: train2014/val2014 jpgs + annotations pngs + fold pkls.
 
     correlated=True draws the object VISIBLY into the image (dim noise
@@ -31,6 +31,16 @@ def make_coco(root: str, n_classes: int = 80, imgs_per_class: int = 3, seed: int
     class-independent contrast for every class) so the segmentation target
     is predictable from the query image — the learnable task the
     train-to-capability demonstration uses (tools/train_capability.py).
+
+    correlated="incontext" makes the task SUPPORT-DEPENDENT: every image
+    contains TWO bright rectangles (one red, one green) at random
+    positions/sizes on a dim-noise background, and the mask covers the
+    rectangle whose color is the CLASS's foreground color ((c//4)%2 —
+    balanced within every fold's val split).  A query-only model cannot
+    beat ~50% (color choice is 50/50 across classes); solving it requires
+    reading which color the SUPPORT's mask covers through the KV-fusion
+    stream — the in-context pathway itself.
+
     Default False keeps the original pure-noise images (mask uncorrelated
     with pixels; exercises plumbing, not learning)."""
     rng = np.random.default_rng(seed)
@@ -48,9 +58,34 @@ def make_coco(root: str, n_classes: int = 80, imgs_per_class: int = 3, seed: int
                     name = f"{prefix}/COCO_{prefix}_{c:03d}_{i:04d}.jpg"
                     img_path = os.path.join(base, name)
                     if not os.path.exists(img_path):
-                        ann = np.zeros((30, 40), np.uint8)
-                        ann[5 + c % 10 : 20, 8 : 30] = min(c + 1, 255)  # class pixels = id+1
-                        if correlated:
+                        if correlated == "incontext":
+                            arr = rng.integers(
+                                0, 70, size=(30, 40, 3), dtype=np.uint8)
+                            # two solid rects, one red one green, disjoint
+                            # halves so they never overlap; mask = the
+                            # class's color ((c//4)%2: 0 -> red, 1 -> green)
+                            rects = []
+                            for half in (0, 1):  # left / right half
+                                h0 = rng.integers(0, 12)
+                                h1 = rng.integers(h0 + 10, 30 + 1)
+                                w0 = rng.integers(half * 20, half * 20 + 6)
+                                w1 = rng.integers(w0 + 8, half * 20 + 20 + 1)
+                                rects.append((h0, h1, w0, w1))
+                            rng.shuffle(rects)  # color not tied to a side
+                            (r0, r1, rc0, rc1), (g0, g1, gc0, gc1) = rects
+                            arr[r0:r1, rc0:rc1] = [230, 40, 40]
+                            arr[g0:g1, gc0:gc1] = [40, 230, 40]
+                            ann = np.zeros((30, 40), np.uint8)
+                            if (c // 4) % 2 == 0:
+                                ann[r0:r1, rc0:rc1] = min(c + 1, 255)
+                            else:
+                                ann[g0:g1, gc0:gc1] = min(c + 1, 255)
+                            os.makedirs(os.path.dirname(img_path),
+                                        exist_ok=True)
+                            Image.fromarray(arr).save(img_path)
+                        elif correlated:
+                            ann = np.zeros((30, 40), np.uint8)
+                            ann[5 + c % 10 : 20, 8 : 30] = min(c + 1, 255)
                             arr = rng.integers(
                                 0, 90, size=(30, 40, 3), dtype=np.uint8)
                             fg = rng.integers(
@@ -60,6 +95,8 @@ def make_coco(root: str, n_classes: int = 80, imgs_per_class: int = 3, seed: int
                                         exist_ok=True)
                             Image.fromarray(arr).save(img_path)
                         else:
+                            ann = np.zeros((30, 40), np.uint8)
+                            ann[5 + c % 10 : 20, 8 : 30] = min(c + 1, 255)
                             _save_rgb(img_path, rng)
                         ann_path = os.path.join(
                             base, "annotations", name.replace(".jpg", ".png")

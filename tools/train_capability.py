@@ -196,6 +196,14 @@ def main(argv=None):
     p.add_argument("--vae_lr", type=float, default=2e-3)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--task", choices=["visible", "incontext"],
+                   default="visible",
+                   help="visible: mask predictable from the query image "
+                        "alone (reliable learnability). incontext: two "
+                        "colored rectangles, the foreground one knowable "
+                        "ONLY from the support (a query-only model caps "
+                        "near 50%% — beating that demonstrates the "
+                        "KV-fusion in-context pathway itself learns)")
     p.add_argument("--out", default=os.path.join(
         _REPO, "artifacts", "train_capability.json"))
     args = p.parse_args(argv)
@@ -220,8 +228,11 @@ def main(argv=None):
     out_dir = os.path.join(args.workdir, "train")
     metrics_jsonl = os.path.join(args.workdir, "train_metrics.jsonl")
 
-    print("[1/5] synthesizing correlated COCO-20i", flush=True)
-    make_coco(data_dir, correlated=True, seed=args.seed)
+    print(f"[1/5] synthesizing correlated COCO-20i (task={args.task})",
+          flush=True)
+    make_coco(data_dir,
+              correlated=("incontext" if args.task == "incontext" else True),
+              seed=args.seed)
 
     print("[2/5] pretraining the tiny VAE (frozen-VAE analog)", flush=True)
     vae_params, vae_recon, vae_ceiling_iou = pretrain_vae(
@@ -283,7 +294,7 @@ def main(argv=None):
             val_lines = [ln.strip() for ln in fh if ln.strip()]
 
     report = {
-        "task": "correlated synthetic COCO-20i fold0, held-out classes, "
+        "task": f"{args.task} synthetic COCO-20i fold0, held-out classes, "
                 f"{args.img_size}px, 1-shot, seeded protocol",
         "steps": args.steps,
         "lr": args.lr,
