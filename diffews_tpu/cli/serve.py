@@ -467,6 +467,34 @@ class ModelServer:
 
     # -- device work (lock-held) ---------------------------------------------
 
+    def warm_start(self) -> None:
+        """Compile every serving program BEFORE taking traffic: the cached
+        path at every batch bucket (incl. its in-graph mask stage) and the
+        one-off episode path at full bsz, on throwaway random inputs.
+        Without this, a request pays the first-use compile — measured: a
+        cold full-batch chunk compiling under the dispatch lock ran a
+        16-client window at ~10% throughput (PERF.md replay sweeps).
+        Artifact mode is already compiled at export time."""
+        if self.pipe is None:
+            return
+        s = self.img_size
+        rng = np.random.default_rng(0)
+        sup = rng.integers(0, 256, (1, self.nshot, s, s, 3), np.uint8)
+        msk = (rng.random((1, self.nshot, s, s)) > 0.5).astype(np.uint8)
+        cache = self.pipe.precompute_supports(sup, msk)
+        q1 = rng.integers(0, 256, (1, s, s, 3), np.uint8)
+        for bucket in self.buckets:
+            self.pipe.predict_cached_async(
+                np.repeat(q1, bucket, axis=0), cache,
+                r_threshold=self.r_threshold,
+                mask_on_device=True).result(need_seg=False)
+        self.pipe.predict_async(
+            np.repeat(q1, self.bsz, axis=0),
+            np.broadcast_to(sup, (self.bsz,) + sup.shape[1:]),
+            np.broadcast_to(msk, (self.bsz,) + msk.shape[1:]),
+            r_threshold=self.r_threshold,
+            mask_on_device=True).result(need_seg=False)
+
     def _pad_batch(self, q: np.ndarray) -> Tuple[np.ndarray, int]:
         n = q.shape[0]
         if n > self.bsz:
@@ -769,6 +797,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(0 = off); adds up to this much latency per "
                         "request, multiplies throughput up to --bsz under "
                         "concurrent load")
+    p.add_argument("--warm_start", action="store_true",
+                   help="compile every serving program (each batch bucket "
+                        "+ the one-off episode path) on random inputs "
+                        "BEFORE accepting traffic, so no request pays a "
+                        "first-use compile (minutes on a TPU tunnel; "
+                        "recommended with --batch_buckets)")
     p.add_argument("--batch_buckets", type=str, default="",
                    help="comma list of batch sizes (e.g. '1,2,4') to pad "
                         "partial batches/windows to, instead of always "
@@ -887,6 +921,12 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
     server = make_server(args)
+    if args.warm_start:
+        t0 = time.monotonic()
+        print("warm-start: compiling serving programs "
+              f"(buckets {server.buckets} + one-off episode)", flush=True)
+        server.warm_start()
+        print(f"warm-start done in {time.monotonic() - t0:.1f}s", flush=True)
     httpd = _DrainingHTTPServer((args.host, args.port), make_handler(server))
     print(f"serving on http://{args.host}:{httpd.server_address[1]} "
           f"({server.healthz()['mode']} mode, bsz {server.bsz}, "

@@ -734,3 +734,17 @@ def test_batch_buckets_rejected_out_of_range(pipe):
         serve.ModelServer(pipe=pipe, bsz=2, nshot=1, img_size=S,
                           r_threshold=0.25, model_desc="tiny",
                           batch_buckets="1,8")
+
+
+def test_warm_start_compiles_all_paths(pipe):
+    """warm_start() must run clean on every bucket + the one-off path, and
+    a subsequent request must serve without error (the compile-under-lock
+    trap's operational fix)."""
+    ms = serve.ModelServer(pipe=pipe, bsz=2, nshot=1, img_size=S,
+                           r_threshold=0.25, model_desc="tiny",
+                           batch_buckets="1")
+    ms.warm_start()
+    cid = ms.add_supports({"images": [_b64_png(_rgb(120))],
+                           "masks": [_b64_png(_mask(121))]})["cache_id"]
+    out = ms.segment({"query": _b64_png(_rgb(122)), "cache_id": cid})
+    assert out["masks"]
