@@ -483,3 +483,37 @@ class TestBatchSeedStream:
                        for i in range(5)]
         assert via_global == via_private
         ds.rng = np.random  # restore the shared dataset's default hook
+
+
+def test_incontext_synthetic_coco_invariants(tmp_path):
+    """The in-context capability task's validity rests on these generator
+    properties (helpers.synthetic_data.make_coco(correlated='incontext')):
+    each image has one red and one green rectangle, the mask covers
+    exactly the class's color ((c//4)%2), and fold-0's val classes are
+    color-balanced so a query-only model caps near mIoU ~50."""
+    import pickle
+
+    from PIL import Image
+
+    from helpers.synthetic_data import make_coco
+
+    root = make_coco(str(tmp_path), correlated="incontext", seed=0)
+    base = os.path.join(root, "COCO2014")
+    with open(os.path.join(base, "splits", "val", "fold0.pkl"), "rb") as f:
+        val_meta = pickle.load(f)
+    parities = [(c // 4) % 2 for c in val_meta]
+    assert 0.4 <= np.mean(parities) <= 0.6  # balanced red/green classes
+    for c in list(val_meta)[:4]:
+        name = val_meta[c][0]
+        img = np.asarray(Image.open(os.path.join(base, name)))
+        ann = np.asarray(Image.open(os.path.join(
+            base, "annotations", name.replace(".jpg", ".png"))))
+        fg = img[ann > 0].mean(axis=0)
+        red_fg = (c // 4) % 2 == 0
+        # foreground rect is saturated in the class's color channel
+        assert fg[0] > 150 if red_fg else fg[1] > 150, (c, fg)
+        assert (fg[1] < 110 if red_fg else fg[0] < 110), (c, fg)
+        # the OTHER color's rect exists in the image but outside the mask
+        other = img[ann == 0]
+        other_hot = other[:, 1 if red_fg else 0] > 150
+        assert other_hot.any(), c
