@@ -82,3 +82,52 @@ def test_bench_watchdog_always_leaves_parsed_json():
     assert last["unit"] == "queries/s"
     assert set(last) >= {"metric", "value", "unit", "vs_baseline"}
     assert "WATCHDOG" in p.stderr
+
+
+def test_mode_from_argv_and_labels(monkeypatch):
+    """The watchdog files diagnostics under the requested mode (advisor
+    r3): tag/batch/denominator derive from argv before any device work,
+    and the degradation map covers composite tags."""
+    import importlib
+    import sys as _sys
+
+    import bench
+
+    monkeypatch.delenv("BENCH_TINY", raising=False)
+    monkeypatch.setattr(_sys, "argv", ["bench.py"])
+    assert bench._mode_from_argv() == ("bf16", 8, 5.0, "estimate")
+    monkeypatch.setattr(_sys, "argv", ["bench.py", "int8", "unet", "5shot"])
+    tag, batch, ref, src = bench._mode_from_argv()
+    assert (tag, batch, ref) == ("int8-vae+unet-5shot", 8, 2.5)
+    assert "5-shot" in bench._metric_label(tag, batch)
+    # composite 5-shot tags hit the chained 5-shot record
+    assert bench._recorded_qps("int8-vae+unet-5shot") == 6.54
+    assert bench._recorded_qps("bf16") == 19.5
+    assert bench._recorded_qps("bf16-tiny") is None
+    monkeypatch.setenv("BENCH_TINY", "1")
+    assert bench._mode_from_argv()[0] == "bf16-tiny"
+
+
+def test_measured_denominator_hook(tmp_path, monkeypatch):
+    """artifacts/ref_qps.json (cli/measure_baseline.py --write) replaces
+    the estimate and tags records baseline_source=measured."""
+    import importlib
+    import json as _json
+    import sys as _sys
+
+    qps = tmp_path / "ref_qps.json"
+    qps.write_text(_json.dumps({"1shot": {"qps": 4.2}}))
+    monkeypatch.setenv("REF_QPS_FILE", str(qps))
+    monkeypatch.delenv("BENCH_TINY", raising=False)
+    import bench
+
+    importlib.reload(bench)  # re-read REF_QPS_FILE from env
+    try:
+        monkeypatch.setattr(_sys, "argv", ["bench.py"])
+        assert bench._mode_from_argv() == ("bf16", 8, 4.2, "measured")
+        # no 5shot key recorded -> 5-shot falls back to the estimate
+        monkeypatch.setattr(_sys, "argv", ["bench.py", "5shot"])
+        assert bench._mode_from_argv() == ("bf16-5shot", 8, 2.5, "estimate")
+    finally:
+        monkeypatch.delenv("REF_QPS_FILE")
+        importlib.reload(bench)
