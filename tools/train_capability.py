@@ -206,6 +206,14 @@ def main(argv=None):
                         "KV-fusion in-context pathway itself learns)")
     p.add_argument("--out", default=os.path.join(
         _REPO, "artifacts", "train_capability.json"))
+    p.add_argument("--resume", action="store_true",
+                   help="continue an existing --workdir run to --steps: "
+                        "skips data synthesis / VAE pretrain / the "
+                        "random-init eval (reuses the recorded baseline "
+                        "if --out exists) and passes "
+                        "--resume_from_checkpoint latest to the train "
+                        "CLI — how the in-context artifact's 600->1600 "
+                        "extension was produced")
     args = p.parse_args(argv)
 
     import jax
@@ -228,26 +236,43 @@ def main(argv=None):
     out_dir = os.path.join(args.workdir, "train")
     metrics_jsonl = os.path.join(args.workdir, "train_metrics.jsonl")
 
-    print(f"[1/5] synthesizing correlated COCO-20i (task={args.task})",
-          flush=True)
-    make_coco(data_dir,
-              correlated=("incontext" if args.task == "incontext" else True),
-              seed=args.seed)
+    prev = None
+    if args.resume:
+        if not os.path.isdir(os.path.join(out_dir)):
+            raise SystemExit(f"--resume: no existing run at {out_dir}")
+        if os.path.exists(args.out):
+            prev = json.load(open(args.out))
+        vae_recon = (prev or {}).get("vae_pretrain", {}).get("recon_mse")
+        vae_ceiling_iou = (prev or {}).get("vae_pretrain", {}).get(
+            "mask_roundtrip_iou")
+        miou_random = (prev or {}).get("miou_random_init", float("nan"))
+        fb_random = (prev or {}).get("fb_iou_random_init", float("nan"))
+        print(f"[1-3/5] resume: reusing {args.workdir} (baseline mIoU "
+              f"{miou_random})", flush=True)
+    else:
+        print(f"[1/5] synthesizing correlated COCO-20i (task={args.task})",
+              flush=True)
+        make_coco(data_dir,
+                  correlated=("incontext" if args.task == "incontext"
+                              else True),
+                  seed=args.seed)
 
-    print("[2/5] pretraining the tiny VAE (frozen-VAE analog)", flush=True)
-    vae_params, vae_recon, vae_ceiling_iou = pretrain_vae(
-        VAEConfig.tiny(), data_dir, args.img_size, args.vae_steps,
-        args.vae_lr, args.seed)
-    print(f"[2/5] recon_mse {vae_recon:.5f}, mask round-trip IoU "
-          f"{vae_ceiling_iou:.3f}", flush=True)
-    build_checkpoint(ck_dir, vae_params, args.seed)
+        print("[2/5] pretraining the tiny VAE (frozen-VAE analog)",
+              flush=True)
+        vae_params, vae_recon, vae_ceiling_iou = pretrain_vae(
+            VAEConfig.tiny(), data_dir, args.img_size, args.vae_steps,
+            args.vae_lr, args.seed)
+        print(f"[2/5] recon_mse {vae_recon:.5f}, mask round-trip IoU "
+              f"{vae_ceiling_iou:.3f}", flush=True)
+        build_checkpoint(ck_dir, vae_params, args.seed)
 
-    print("[3/5] eval of the RANDOM-INIT UNet (seeded protocol)", flush=True)
-    miou_random, fb_random = run_eval(
-        ck_dir, data_dir, args.img_size, args.episodes,
-        os.path.join(args.workdir, "eval_random"))
-    print(f"[3/5] random-init mIoU {miou_random:.2f} FB-IoU {fb_random:.2f}",
-          flush=True)
+        print("[3/5] eval of the RANDOM-INIT UNet (seeded protocol)",
+              flush=True)
+        miou_random, fb_random = run_eval(
+            ck_dir, data_dir, args.img_size, args.episodes,
+            os.path.join(args.workdir, "eval_random"))
+        print(f"[3/5] random-init mIoU {miou_random:.2f} FB-IoU "
+              f"{fb_random:.2f}", flush=True)
 
     print(f"[4/5] training {args.steps} steps through cli/train.py",
           flush=True)
@@ -273,7 +298,7 @@ def main(argv=None):
         "--validation_episodes", str(args.validation_episodes),
         "--validation_image_grids", "2",
         "--dataloader_num_workers", "0",
-    ])
+    ] + (["--resume_from_checkpoint", "latest"] if args.resume else []))
     trained_unet = os.path.join(out_dir, f"checkpoint-{args.steps}", "unet")
     assert os.path.isdir(trained_unet), trained_unet
 
@@ -298,8 +323,13 @@ def main(argv=None):
                 f"{args.img_size}px, 1-shot, seeded protocol",
         "steps": args.steps,
         "lr": args.lr,
-        "vae_pretrain": {"steps": args.vae_steps, "recon_mse": round(vae_recon, 5),
-                         "mask_roundtrip_iou": round(vae_ceiling_iou, 4)},
+        "vae_pretrain": {"steps": args.vae_steps,
+                         "recon_mse": (None if vae_recon is None
+                                       else round(vae_recon, 5)),
+                         "mask_roundtrip_iou": (
+                             None if vae_ceiling_iou is None
+                             else round(vae_ceiling_iou, 4))},
+        "resumed": bool(args.resume),
         "episodes": args.episodes,
         "miou_random_init": round(miou_random, 2),
         "miou_trained": round(miou_trained, 2),
