@@ -125,6 +125,14 @@ def _emit(qps: float, tag: str, batch: int, ref_qps: float,
         "vs_baseline": round(qps / ref_qps, 3),
         "baseline_source": source,
     }
+    if source == "measured":
+        # Methodology disclosure (advisor, round 4): the numerator here is
+        # bench.py's DEVICE-ONLY chained throughput; a measured ref_qps.json
+        # denominator is HARNESS-LEVEL (host dataloading included, startup
+        # excluded).  The apples-to-apples numerator for a measured
+        # denominator is a `cli/measure_baseline.py --subject self` run of
+        # the same protocol (11-14 ep/s here vs 19.5 q/s device-only).
+        rec["numerator_methodology"] = "device-only chained (see BASELINE.md)"
     if note:
         rec["note"] = note
     print(json.dumps(rec), flush=True)

@@ -468,12 +468,15 @@ class ModelServer:
     # -- device work (lock-held) ---------------------------------------------
 
     def warm_start(self) -> None:
-        """Compile every serving program BEFORE taking traffic: the cached
-        path at every batch bucket (incl. its in-graph mask stage) and the
-        one-off episode path at full bsz, on throwaway random inputs.
-        Without this, a request pays the first-use compile — measured: a
-        cold full-batch chunk compiling under the dispatch lock ran a
-        16-client window at ~10% throughput (PERF.md replay sweeps).
+        """Compile every serving program BEFORE taking traffic: BOTH the
+        cached path and the one-off episode path at every batch bucket
+        (incl. their in-graph mask stages), on throwaway random inputs.
+        `_segment_episode` pads partial requests to the smallest covering
+        bucket just like the cached path does, so a bucket warmed only for
+        the cached program would still pay a first-use compile on its
+        first partial EPISODE request — under the dispatch lock.  Measured:
+        a cold full-batch chunk compiling under the lock ran a 16-client
+        window at ~10% throughput (PERF.md replay sweeps).
         Artifact mode is already compiled at export time."""
         if self.pipe is None:
             return
@@ -488,12 +491,12 @@ class ModelServer:
                 np.repeat(q1, bucket, axis=0), cache,
                 r_threshold=self.r_threshold,
                 mask_on_device=True).result(need_seg=False)
-        self.pipe.predict_async(
-            np.repeat(q1, self.bsz, axis=0),
-            np.broadcast_to(sup, (self.bsz,) + sup.shape[1:]),
-            np.broadcast_to(msk, (self.bsz,) + msk.shape[1:]),
-            r_threshold=self.r_threshold,
-            mask_on_device=True).result(need_seg=False)
+            self.pipe.predict_async(
+                np.repeat(q1, bucket, axis=0),
+                np.broadcast_to(sup, (bucket,) + sup.shape[1:]),
+                np.broadcast_to(msk, (bucket,) + msk.shape[1:]),
+                r_threshold=self.r_threshold,
+                mask_on_device=True).result(need_seg=False)
 
     def _pad_batch(self, q: np.ndarray) -> Tuple[np.ndarray, int]:
         n = q.shape[0]

@@ -236,6 +236,18 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
 
     import jax
+
+    if os.environ.get("DIFFEWS_PLATFORM"):
+        # Subprocess escape hatch (same pattern as cli/evaluate.py:240):
+        # sitecustomize pins JAX_PLATFORMS=axon and env vars cannot
+        # override it, but an in-process config update can — used by CI
+        # subprocess runs (measure_baseline self-train, distributed
+        # capability arms).  DIFFEWS_CPU_DEVICES additionally requests N
+        # virtual CPU devices (the multi-device mesh for DP/FSDP arms).
+        jax.config.update("jax_platforms", os.environ["DIFFEWS_PLATFORM"])
+        if os.environ.get("DIFFEWS_CPU_DEVICES"):
+            jax.config.update("jax_num_cpu_devices",
+                              int(os.environ["DIFFEWS_CPU_DEVICES"]))
     import jax.numpy as jnp
 
     from diffews_tpu import checkpoint as ckpt_lib

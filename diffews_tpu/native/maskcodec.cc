@@ -15,7 +15,8 @@
 //   * polygon rasterization implements the COCO convention (coordinates
 //     upsampled x5 and rounded, integer boundary walk, column-boundary
 //     crossing parity fill) so boundary pixels land where the COCO API
-//     puts them; the PIL fallback is only approximately equal (IoU-close).
+//     puts them; the NumPy fallback in masks.py implements the SAME
+//     convention and is bit-identical (tests/test_native_codec.py).
 //
 // Build: cc -O2 -shared -fPIC maskcodec.cc -o _maskcodec.so  (see
 // diffews_tpu/native/__init__.py, which builds lazily on first import).

@@ -748,3 +748,9 @@ def test_warm_start_compiles_all_paths(pipe):
                            "masks": [_b64_png(_mask(121))]})["cache_id"]
     out = ms.segment({"query": _b64_png(_rgb(122)), "cache_id": cid})
     assert out["masks"]
+    # the one-off EPISODE path at a partial bucket must also be warmed
+    # (advisor, round 4: it pads to the same buckets as the cached path)
+    out = ms.segment({"query": _b64_png(_rgb(123)),
+                      "supports": [_b64_png(_rgb(124))],
+                      "masks": [_b64_png(_mask(125))]})
+    assert out["masks"]

@@ -242,6 +242,20 @@ def main(argv=None):
             raise SystemExit(f"--resume: no existing run at {out_dir}")
         if os.path.exists(args.out):
             prev = json.load(open(args.out))
+            # the recorded baseline is only reusable if it came from THIS
+            # workdir's run (advisor, round 4: resuming an --task incontext
+            # run against a default artifact holding a 'visible' run's
+            # baseline would stitch mismatched before/after numbers)
+            if prev.get("workdir") and prev["workdir"] != args.workdir:
+                raise SystemExit(
+                    f"--resume: {args.out} records a run from workdir "
+                    f"{prev['workdir']!r}, not {args.workdir!r} — its "
+                    "baseline is not this run's baseline. Point --out at "
+                    "this run's artifact (or remove the stale one).")
+            if prev.get("task") and not prev["task"].startswith(args.task):
+                raise SystemExit(
+                    f"--resume: {args.out} records task {prev['task']!r}, "
+                    f"not --task {args.task!r}; refusing to mix baselines.")
         vae_recon = (prev or {}).get("vae_pretrain", {}).get("recon_mse")
         vae_ceiling_iou = (prev or {}).get("vae_pretrain", {}).get(
             "mask_roundtrip_iou")
