@@ -421,9 +421,16 @@ def main() -> None:
     # = 17.4 q/s (the tunnel sync costs ~0.5 s/batch and pipelining
     # hides it); depth 4 adds nothing.
     # int8 at 5-shot: the W8A8 episode's peak HBM + 6 device-resident
-    # 5-shot batches (~830 MB) OOMs 16 GB (observed twice, round 4);
-    # 4 batches keep the chained methodology with enough pipelining
-    k_batches = 4 if (five_shot and "int8" in sys.argv) else 6
+    # 5-shot batches (~830 MB) OOMed 16 GB, and 4 batches (+ the warm
+    # batch, ~700 MB) still did (round 4, twice); 3 batches with the warm
+    # batch freed (~420 MB resident) keep the depth-2 chained methodology
+    # (dispatch 2 ahead, read behind) at the minimum resident footprint
+    # that still pipelines
+    k_batches = 3 if (five_shot and "int8" in sys.argv) else 6
+    if five_shot and "int8" in sys.argv:
+        for a in warm_in:
+            a.delete()
+        del warm_in
     inputs = [mk(i + 1) for i in range(k_batches)]
     for i, inp in enumerate(inputs):  # force h2d before timing (lazy
         for a in inp:                 # uploads pollute the measurement)

@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ensemble_size", type=int, default=1)
     p.add_argument("--test_timestep", type=int, default=1)
     p.add_argument("--attn_impl", type=str, default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--attn_mask_variant", action="store_true",
+                   help="evaluate with the experimental attn-mask "
+                        "conditioning (support masks as attention key "
+                        "biases, `unet_2d_condition_attn.py`); the "
+                        "checkpoint must have been trained with "
+                        "`cli/train.py --attn_mask_variant`")
     p.add_argument("--max_episodes", type=int, default=0,
                    help="cap episode count (0 = full protocol)")
     p.add_argument("--dispatch_ahead", type=int, default=2,
@@ -160,6 +166,7 @@ def evaluate(args, pipe=None, raw_images: bool = True) -> tuple[float, float]:
             encode_chunks=args.encode_chunks,
             vae_impl=args.vae_impl,
             unet_int8=args.unet_int8,
+            attn_mask_variant=args.attn_mask_variant,
         )
 
     # raw_images: episodes stay uint8 HWC on the host; the pipeline

@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'fp16' (the reference's choice) runs as bf16 — "
                         "TPU-native mixed precision needs no loss scaling")
     p.add_argument("--attn_impl", type=str, default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--attn_mask_variant", action="store_true",
+                   help="train the experimental attn-mask conditioning "
+                        "variant (support masks as per-level attention key "
+                        "biases, `unet_2d_condition_attn.py`); evaluate "
+                        "checkpoints with `cli/evaluate.py "
+                        "--attn_mask_variant`")
     p.add_argument("--no_remat", action="store_true")
     # parallelism
     p.add_argument("--num_data_shards", type=int, default=0,
@@ -307,6 +313,7 @@ def main(argv=None):
         compute_dtype=(jnp.bfloat16 if args.mixed_precision in ("bf16", "fp16")
                        else jnp.float32),
         attn_impl=args.attn_impl,
+        attn_mask_variant=args.attn_mask_variant,
         remat=not args.no_remat,
         lr_steps_per_opt_step=(
             args.gradient_accumulation_steps if args.reference_lr_quirk else 1
@@ -494,7 +501,8 @@ def main(argv=None):
             vb = _copy.copy(bundle)
             vb.unet_params = unet_params
             val_state["pipe"] = DiffewsPipeline(
-                vb, compute_dtype=tcfg.compute_dtype, attn_impl=args.attn_impl
+                vb, compute_dtype=tcfg.compute_dtype, attn_impl=args.attn_impl,
+                attn_mask_variant=args.attn_mask_variant,
             )
             val_state["loader"] = FSSDataset.build_dataloader(
                 benchmarks[0], 1, 0, args.fold, "test", min(args.nshot, 5)

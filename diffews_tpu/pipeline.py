@@ -107,6 +107,7 @@ class DiffewsPipeline:
         encode_chunks: int = 0,
         vae_impl: str = "xla",
         unet_int8: bool = False,
+        attn_mask_variant: bool = False,
     ):
         """mesh: optional `jax.sharding.Mesh` with a "data" axis — episode
         batches shard across chips and params replicate (multi-chip serving;
@@ -139,7 +140,16 @@ class DiffewsPipeline:
         quantizes the VAE's 3x3 convs to W8A8 for the MXU's 2x int8 rate
         (measured 1.32-1.40x per conv incl. scale chains,
         `ops/quant.py`) — an accuracy-affecting OPT-IN that the reference
-        has no equivalent of; the headline protocol stays bf16."""
+        has no equivalent of; the headline protocol stays bf16.
+
+        attn_mask_variant: the reference's experimental ATTN-MASK
+        conditioning (`diffews/models/unet_2d_condition_attn.py` +
+        `attention_processor_attnmask.py`): support masks condition via
+        per-level attention KEY BIASES instead of a VAE-encoded latent
+        channel — only query+support RGB are VAE-encoded, the support
+        stream shares the 4-ch `conv_in` (no `conv_in_ref`), and each
+        self-attention biases masked-out support keys by -1e4.  Must
+        match the checkpoint's training mode."""
         self.unet_cfg: UNetConfig = bundle.unet_cfg
         self.vae_cfg: VAEConfig = bundle.vae_cfg
         self.scheduler = DDIMScheduler(bundle.scheduler_cfg)
@@ -148,6 +158,7 @@ class DiffewsPipeline:
         self.test_timestep = test_timestep
         self.encode_chunks = int(encode_chunks)
         self.vae_impl = vae_impl
+        self.attn_mask_variant = bool(attn_mask_variant)
 
         # device_put AFTER the cast (host numpy casts are free and halve
         # the upload): bundle trees loaded from checkpoints (or
@@ -409,21 +420,40 @@ class DiffewsPipeline:
         query, supports = self._norm_img(query), self._norm_img(supports)
         masks = self._norm_mask(masks)
 
-        # ---- single batched VAE encode for all three streams ----
-        all_imgs = jnp.concatenate(
-            [
-                query,
-                supports.reshape((b * n,) + supports.shape[2:]),
-                masks.reshape((b * n,) + masks.shape[2:]),
-            ],
-            axis=0,
-        )
-        lat = self._encode_images(vae_params, all_imgs)
-        lh, lw = lat.shape[1:3]
-        q_lat = lat[:b]
-        s_lat = lat[b : b + b * n].reshape(b, n, lh, lw, -1)
-        m_lat = lat[b + b * n :].reshape(b, n, lh, lw, -1)
-        ref = jnp.concatenate([s_lat, m_lat], axis=-1)  # (B, N, h, w, 8)
+        if self.attn_mask_variant:
+            # ATTN-MASK variant: the support mask becomes per-level
+            # attention key biases inside the UNet (`unet.forward`
+            # `ref_mask`), not a latent channel — only query+support RGB
+            # go through the VAE and the support stream shares `conv_in`
+            # (`attention_processor_attnmask.py:213-244`,
+            # `unet_2d_condition_attn.py:645-666`).
+            ref_mask = (masks.astype(jnp.float32).mean(axis=-1) > 0.0
+                        ).astype(jnp.float32)  # (B, N, H, W) {0,1}
+            all_imgs = jnp.concatenate(
+                [query, supports.reshape((b * n,) + supports.shape[2:])],
+                axis=0,
+            )
+            lat = self._encode_images(vae_params, all_imgs)
+            lh, lw = lat.shape[1:3]
+            q_lat = lat[:b]
+            ref = lat[b:].reshape(b, n, lh, lw, -1)  # (B, N, h, w, 4)
+        else:
+            ref_mask = None
+            # ---- single batched VAE encode for all three streams ----
+            all_imgs = jnp.concatenate(
+                [
+                    query,
+                    supports.reshape((b * n,) + supports.shape[2:]),
+                    masks.reshape((b * n,) + masks.shape[2:]),
+                ],
+                axis=0,
+            )
+            lat = self._encode_images(vae_params, all_imgs)
+            lh, lw = lat.shape[1:3]
+            q_lat = lat[:b]
+            s_lat = lat[b : b + b * n].reshape(b, n, lh, lw, -1)
+            m_lat = lat[b + b * n :].reshape(b, n, lh, lw, -1)
+            ref = jnp.concatenate([s_lat, m_lat], axis=-1)  # (B, N, h, w, 8)
 
         ctx = jnp.broadcast_to(text_embed, (b,) + text_embed.shape[1:]).astype(dt)
 
@@ -435,7 +465,7 @@ class DiffewsPipeline:
             v = unet.forward(
                 unet_params, self.unet_cfg, latent,
                 int(t) * self.test_timestep, ctx,
-                ref_sample=ref, shot_mask=shot_mask,
+                ref_sample=ref, shot_mask=shot_mask, ref_mask=ref_mask,
                 attn_impl=self.attn_impl, shot_axis=shot_axis,
             )
             latent, x0 = self.scheduler.step(v, int(t), latent)
@@ -480,18 +510,29 @@ class DiffewsPipeline:
         b, n = supports.shape[0], supports.shape[1]
         supports = self._norm_img(supports)
         masks = self._norm_mask(masks)
-        all_imgs = jnp.concatenate(
-            [
-                supports.reshape((b * n,) + supports.shape[2:]),
-                masks.reshape((b * n,) + masks.shape[2:]),
-            ],
-            axis=0,
-        )
-        lat = self._encode_images(vae_params, all_imgs)
-        lh, lw = lat.shape[1:3]
-        s_lat = lat[: b * n].reshape(b, n, lh, lw, -1)
-        m_lat = lat[b * n :].reshape(b, n, lh, lw, -1)
-        ref = jnp.concatenate([s_lat, m_lat], axis=-1)
+        if self.attn_mask_variant:
+            # variant: mask -> per-level key biases (captured alongside
+            # K/V as each entry's `bias` slot); only support RGB encoded
+            ref_mask = (masks.astype(jnp.float32).mean(axis=-1) > 0.0
+                        ).astype(jnp.float32)
+            lat = self._encode_images(
+                vae_params, supports.reshape((b * n,) + supports.shape[2:]))
+            lh, lw = lat.shape[1:3]
+            ref = lat.reshape(b, n, lh, lw, -1)
+        else:
+            ref_mask = None
+            all_imgs = jnp.concatenate(
+                [
+                    supports.reshape((b * n,) + supports.shape[2:]),
+                    masks.reshape((b * n,) + masks.shape[2:]),
+                ],
+                axis=0,
+            )
+            lat = self._encode_images(vae_params, all_imgs)
+            lh, lw = lat.shape[1:3]
+            s_lat = lat[: b * n].reshape(b, n, lh, lw, -1)
+            m_lat = lat[b * n :].reshape(b, n, lh, lw, -1)
+            ref = jnp.concatenate([s_lat, m_lat], axis=-1)
         ctx = jnp.broadcast_to(
             text_embed, (b,) + text_embed.shape[1:]).astype(self.compute_dtype)
         self.scheduler.set_timesteps(1)
@@ -501,7 +542,8 @@ class DiffewsPipeline:
         cap: list = []
         unet.forward(
             unet_params, self.unet_cfg, dummy_q, t, ctx,
-            ref_sample=ref, attn_impl=self.attn_impl, kv_capture=cap,
+            ref_sample=ref, ref_mask=ref_mask, attn_impl=self.attn_impl,
+            kv_capture=cap,
         )
         return tuple(cap)
 

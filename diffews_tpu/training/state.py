@@ -73,6 +73,15 @@ class TrainerConfig:
     lora_rank: int = 0
     lora_alpha: Optional[float] = None  # scale = alpha / rank; None -> rank
     lora_targets: str = "attn"  # "attn" | "attn+ff"
+    # Train the experimental ATTN-MASK conditioning variant
+    # (`diffews/models/unet_2d_condition_attn.py` +
+    # `attention_processor_attnmask.py`): support masks become per-level
+    # attention key biases (`unet.forward` `ref_mask`) instead of a
+    # VAE-encoded latent channel; the support stream shares the 4-ch
+    # `conv_in` and `conv_in_ref` is unused (frozen at init).  The
+    # reference ships this variant untrained; our capability harness
+    # validates it end-to-end (tools/train_capability.py --attn_mask_variant).
+    attn_mask_variant: bool = False
     # Reference quirk parity: the diffusers-example loop the reference forked
     # calls `lr_scheduler.step()` once per MICRO-batch while counting
     # `max_train_steps` in optimizer steps (`train_icl_*_v3.py:1217-1223,
@@ -147,15 +156,14 @@ def make_episode_loss(cfg: TrainerConfig, unet_cfg: UNetConfig,
         sm3 = norm_mask(micro["s_mask3"], micro["supports"].ndim)
         shot_mask = micro["shot_mask"]
         b, n = sup.shape[0], sup.shape[1]
-        flat = jnp.concatenate(
-            [
-                q,
-                qm3,
-                sup.reshape((b * n,) + sup.shape[2:]),
-                sm3.reshape((b * n,) + sm3.shape[2:]),
-            ],
-            axis=0,
-        )
+        streams = [
+            q,
+            qm3,
+            sup.reshape((b * n,) + sup.shape[2:]),
+        ]
+        if not cfg.attn_mask_variant:
+            streams.append(sm3.reshape((b * n,) + sm3.shape[2:]))
+        flat = jnp.concatenate(streams, axis=0)
         # Frozen VAE: stochastic posterior sample (train path, `:1347-1358`).
         lat = jax.lax.stop_gradient(
             vae.sample_latent(vae_params_c, vae_cfg, flat, rng,
@@ -165,13 +173,21 @@ def make_episode_loss(cfg: TrainerConfig, unet_cfg: UNetConfig,
         q_lat = lat[:b]
         qm_lat = lat[b : 2 * b]
         s_lat = lat[2 * b : 2 * b + b * n].reshape(b, n, lh, lw, -1)
-        sm_lat = lat[2 * b + b * n :].reshape(b, n, lh, lw, -1)
-        ref = jnp.concatenate([s_lat, sm_lat], axis=-1)
+        if cfg.attn_mask_variant:
+            # variant: support mask -> per-level attention key biases
+            # (no mask latent; support stream shares the 4-ch conv_in)
+            ref = s_lat
+            ref_mask = (sm3.astype(jnp.float32).mean(axis=-1) > 0.0
+                        ).astype(jnp.float32)  # (B, N, H, W)
+        else:
+            sm_lat = lat[2 * b + b * n :].reshape(b, n, lh, lw, -1)
+            ref = jnp.concatenate([s_lat, sm_lat], axis=-1)
+            ref_mask = None
 
         ctx = jnp.broadcast_to(text_embed, (b,) + text_embed.shape[1:]).astype(dt)
         pred = unet.forward(
             params_c, unet_cfg, q_lat, cfg.train_timestep, ctx,
-            ref_sample=ref, shot_mask=shot_mask,
+            ref_sample=ref, shot_mask=shot_mask, ref_mask=ref_mask,
             attn_impl=cfg.attn_impl, remat=cfg.remat,
         )
         target = -qm_lat

@@ -41,6 +41,21 @@ def make_coco(root: str, n_classes: int = 80, imgs_per_class: int = 3, seed: int
     reading which color the SUPPORT's mask covers through the KV-fusion
     stream — the in-context pathway itself.
 
+    correlated="incontext_nshot" additionally makes EXTRA SHOTS genuinely
+    disambiguate (the shot-benefit task, VERDICT r4 #2): every odd image
+    index of a class is AMBIGUOUS — both rectangles are dual-colored
+    (left half red, right half green) and the mask covers BOTH.  As a
+    support, an ambiguous image carries no class-color information (its
+    masked region shows red and green equally); as a query it is still
+    fully solvable query-side (dual rects are visually identifiable and
+    the target is their union).  Clean-query episodes are therefore
+    solvable iff at least one sampled support is clean — with supports
+    drawn (with replacement, the reference sampling contract) from the
+    class pool, P(solvable) rises monotonically with the shot count, so
+    a model that LEARNED to aggregate across shots shows a monotone
+    mIoU-vs-shots curve on held-out folds.  Use imgs_per_class >= 6 so
+    5-shot episodes exist.
+
     Default False keeps the original pure-noise images (mask uncorrelated
     with pixels; exercises plumbing, not learning)."""
     rng = np.random.default_rng(seed)
@@ -58,7 +73,26 @@ def make_coco(root: str, n_classes: int = 80, imgs_per_class: int = 3, seed: int
                     name = f"{prefix}/COCO_{prefix}_{c:03d}_{i:04d}.jpg"
                     img_path = os.path.join(base, name)
                     if not os.path.exists(img_path):
-                        if correlated == "incontext":
+                        if correlated == "incontext_nshot" and i % 2 == 1:
+                            # AMBIGUOUS image: two dual-colored rects
+                            # (uninformative as a support, solvable as a
+                            # query — target is the union of both rects)
+                            arr = rng.integers(
+                                0, 70, size=(30, 40, 3), dtype=np.uint8)
+                            ann = np.zeros((30, 40), np.uint8)
+                            for half in (0, 1):
+                                h0 = rng.integers(0, 12)
+                                h1 = rng.integers(h0 + 10, 30 + 1)
+                                w0 = rng.integers(half * 20, half * 20 + 6)
+                                w1 = rng.integers(w0 + 8, half * 20 + 20 + 1)
+                                wm = (w0 + w1) // 2
+                                arr[h0:h1, w0:wm] = [230, 40, 40]
+                                arr[h0:h1, wm:w1] = [40, 230, 40]
+                                ann[h0:h1, w0:w1] = min(c + 1, 255)
+                            os.makedirs(os.path.dirname(img_path),
+                                        exist_ok=True)
+                            Image.fromarray(arr).save(img_path)
+                        elif correlated in ("incontext", "incontext_nshot"):
                             arr = rng.integers(
                                 0, 70, size=(30, 40, 3), dtype=np.uint8)
                             # two solid rects, one red one green, disjoint

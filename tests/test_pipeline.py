@@ -210,6 +210,51 @@ class TestAsyncPredict:
             assert np.array_equal(got.seg_colored, want.seg_colored)
 
 
+class TestAttnMaskVariant:
+    """The experimental attn-mask conditioning variant as a SYSTEM
+    (`unet_2d_condition_attn.py` + `attention_processor_attnmask.py`):
+    the pipeline path the eval CLI's --attn_mask_variant drives."""
+
+    @pytest.fixture(scope="class")
+    def vpipe(self):
+        ucfg, vcfg = UNetConfig.tiny(), VAEConfig.tiny()
+        bundle = C.PipelineBundle(
+            jax.jit(lambda r: unet.init_params(r, ucfg))(jax.random.PRNGKey(0)),
+            ucfg,
+            jax.jit(lambda r: vae.init_params(r, vcfg))(jax.random.PRNGKey(1)),
+            vcfg,
+            None, CLIPTextConfig.tiny(), SchedulerConfig.diffews(),
+        )
+        return DiffewsPipeline(bundle, attn_mask_variant=True)
+
+    def test_predict_wellformed_and_mask_conditions(self, vpipe):
+        """Output contract holds, and flipping the support mask changes
+        the prediction — in this variant the mask reaches the UNet ONLY
+        through the per-level attention key biases (it is never
+        VAE-encoded), so sensitivity proves the bias path is live."""
+        q, sup, msk = _episode(n=2)
+        out = vpipe.predict(q, sup, msk, r_threshold=0.25)
+        assert out.seg_colored.dtype == np.uint8
+        assert out.seg_colored.shape == (1, 32, 32, 3)
+        flipped = vpipe.predict(q, sup, -msk, r_threshold=0.25)
+        assert not np.array_equal(out.seg_colored, flipped.seg_colored)
+
+    def test_cached_supports_equal_full_episode(self, vpipe):
+        """precompute_supports captures the variant's per-level key BIAS
+        alongside K/V (the `(k, v, bias)` capture slot), so the cached
+        query-only path must reproduce the full joint episode."""
+        q, sup, msk = _episode(n=2, seed=3)
+        want = vpipe.predict(q, sup, msk, r_threshold=0.25)
+        cache = vpipe.precompute_supports(sup, msk)
+        got = vpipe.predict_cached(q, cache, r_threshold=0.25)
+        # batch-size-dependent XLA fusion rounding can flip quantization-
+        # boundary pixels by one uint8 step (test_cached_serving tolerance)
+        diff = np.abs(want.seg_colored.astype(np.int32)
+                      - got.seg_colored.astype(np.int32))
+        assert diff.max() <= 1 and (diff != 0).mean() <= 0.01
+        assert (want.mask != got.mask).mean() <= 0.01
+
+
 def test_mesh_sharded_predict_matches_single_device():
     """Episode batch sharded over an 8-device "data" mesh == single device
     (up to fp reassociation: <=1 uint8 level on isolated pixels)."""

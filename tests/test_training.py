@@ -81,6 +81,31 @@ class TestTrainStep:
         # support stream trained too (no ref*0 hack needed)
         assert float(m1["grad_norm"]) > 0
 
+    def test_attn_mask_variant_step(self, setup):
+        """The experimental attn-mask conditioning variant TRAINS: loss
+        finite, params move, and the support mask actually conditions the
+        loss through the per-level key biases (the variant's only mask
+        pathway — no mask latent exists; `unet_2d_condition_attn.py` +
+        `attention_processor_attnmask.py`)."""
+        ucfg, vcfg, up, vp, text = setup
+        cfg = TrainerConfig(max_train_steps=10, gradient_accumulation_steps=1,
+                            compute_dtype=jnp.float32, remat=False,
+                            attn_mask_variant=True)
+        state = init_state(cfg, up)
+        step = jax.jit(make_train_step(cfg, ucfg, vcfg))
+        p0 = np.asarray(state.params["conv_in"]["kernel"]).copy()
+        b = _batch(gas=1)
+        state1, m1 = step(state, b, jax.random.PRNGKey(0), vp, text)
+        assert np.isfinite(float(m1["loss"])) and float(m1["grad_norm"]) > 0
+        assert not np.allclose(
+            np.asarray(state1.params["conv_in"]["kernel"]), p0)
+        # flipping the SUPPORT masks must change the loss: in this variant
+        # they reach the UNet only as attention key biases
+        b2 = {k: v.copy() for k, v in b.items()}
+        b2["s_mask3"] = -b2["s_mask3"]
+        _, m2 = step(state, b2, jax.random.PRNGKey(0), vp, text)
+        assert float(m1["loss"]) != float(m2["loss"])
+
     def test_nonfinite_step_contained_and_counted(self, setup):
         """A NaN batch must not poison params (optax.apply_if_finite skips
         the update) and the skip must be VISIBLE in the step metrics
@@ -489,3 +514,88 @@ def test_training_improves_miou():
     assert len(rep["mid_run_validation"]) >= 2, rep
     # loss moved
     assert rep["loss_last"] < rep["loss_first"], rep
+
+
+def _run_capability(extra, timeout=3000):
+    """Bounded train_capability.py subprocess run -> parsed report."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+    import tempfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(tempfile.mkdtemp(prefix="cap_ci_"), "report.json")
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/diffews_tpu_jax_cache"))
+    p = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "train_capability.py"),
+         "--out", out] + extra,
+        capture_output=True, text=True, env=env, timeout=timeout)
+    assert p.returncode == 0, (p.stdout[-2000:], p.stderr[-2000:])
+    return _json.load(open(out))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["dp", "fsdp"])
+def test_training_improves_miou_distributed(mode):
+    """Distributed train-to-capability (VERDICT r4 #1): the SAME real-CLI
+    capability flow, but with the training arm sharded over a 2-device
+    mesh — DP (replicated params, batch over "data", XLA gradient psum;
+    the reference's accelerate-DDP loop `train_icl_*_v3.py:1226-1228` +
+    `scripts/coco_multigpu.sh:18`) and FSDP (params+optimizer
+    born-sharded).  Converts the distributed claims from per-step
+    equality to learns-end-to-end: the counter-keyed episode stream,
+    sharded optimizer, and sharded checkpoint write/read all sit inside
+    the learning loop being scored."""
+    rep = _run_capability([
+        "--parallel", mode, "--devices", "2",
+        "--steps", "60", "--vae_steps", "200", "--episodes", "16",
+        "--validation_episodes", "4"])
+    assert rep["parallel"] == {"mode": mode, "devices": 2}, rep
+    assert rep["vae_pretrain"]["mask_roundtrip_iou"] > 0.8, rep
+    assert rep["miou_trained"] >= 2 * rep["miou_random_init"], rep
+    assert rep["miou_trained"] - rep["miou_random_init"] >= 10.0, rep
+    assert rep["loss_last"] < rep["loss_first"], rep
+
+
+@pytest.mark.slow
+def test_multishot_capability_flow():
+    """Variable-shot training + shot-curve eval (VERDICT r4 #2), bounded:
+    the incontext_nshot task (ambiguous supports) trains with random
+    1..3-shot subsets through the real train CLI and the SAME trained
+    checkpoint is evaluated at 1 and 3 shots through the real eval CLI.
+    The bounded run validates the mechanics (variable-shot batches
+    converge, the curve protocol runs end-to-end); the committed artifact
+    (tools/train_capability.py --task incontext_nshot, 1500+ steps)
+    carries the monotonicity claim."""
+    rep = _run_capability([
+        "--task", "incontext_nshot", "--nshot", "3",
+        "--steps", "40", "--vae_steps", "200", "--episodes", "12",
+        "--validation_episodes", "4",
+        "--shot_curve", "1,3", "--curve_episodes", "8"])
+    assert rep["nshot_train"] == 3, rep
+    assert set(rep["shot_curve"]) == {"1", "3"}, rep
+    for k in ("1", "3"):
+        assert 0.0 <= rep["shot_curve"][k]["miou"] <= 100.0, rep
+    # variable-shot training converges (loss declines)
+    assert rep["loss_last"] < rep["loss_first"], rep
+
+
+@pytest.mark.slow
+def test_attn_mask_variant_capability_flow():
+    """Attn-mask variant end-to-end (VERDICT r4 #5), bounded: the variant
+    trains a few steps with finite declining loss THROUGH the real train
+    CLI and evaluates through the real eval CLI with --attn_mask_variant
+    (the reference ships this variant untrained/unvalidated —
+    `unet_2d_condition_attn.py`).  The committed artifact carries the
+    learns-decisively claim."""
+    rep = _run_capability([
+        "--attn_mask_variant",
+        "--steps", "40", "--vae_steps", "200", "--episodes", "12",
+        "--validation_episodes", "4"])
+    assert rep["attn_mask_variant"] is True, rep
+    assert rep["loss_last"] < rep["loss_first"], rep
+    import math
+    assert math.isfinite(rep["loss_last"]), rep
+    assert 0.0 <= rep["miou_trained"] <= 100.0, rep

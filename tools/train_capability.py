@@ -162,14 +162,14 @@ def build_checkpoint(ck_dir, vae_params, seed):
 
 
 def run_eval(ck_dir, data_dir, img_size, episodes, log_root,
-             unet_ckpt_path=None):
+             unet_ckpt_path=None, nshot=1, attn_mask_variant=False):
     """The reference's seeded eval protocol through the real eval CLI."""
     from diffews_tpu.cli.evaluate import main as eval_main
 
-    argv = [
+    argv = (["--attn_mask_variant"] if attn_mask_variant else []) + [
         "--checkpoint", ck_dir,
         "--datapath", data_dir,
-        "--benchmark", "coco", "--fold", "0", "--nshot", "1",
+        "--benchmark", "coco", "--fold", "0", "--nshot", str(nshot),
         "--img-size", str(img_size),
         "--denoise_steps", "1", "--ensemble_size", "1",
         "--threshold", "0", "--r_threshold", "0.25",
@@ -196,14 +196,49 @@ def main(argv=None):
     p.add_argument("--vae_lr", type=float, default=2e-3)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--task", choices=["visible", "incontext"],
+    p.add_argument("--task",
+                   choices=["visible", "incontext", "incontext_nshot"],
                    default="visible",
                    help="visible: mask predictable from the query image "
                         "alone (reliable learnability). incontext: two "
                         "colored rectangles, the foreground one knowable "
                         "ONLY from the support (a query-only model caps "
                         "near 50%% — beating that demonstrates the "
-                        "KV-fusion in-context pathway itself learns)")
+                        "KV-fusion in-context pathway itself learns). "
+                        "incontext_nshot: half the images are AMBIGUOUS "
+                        "supports (see synthetic_data.make_coco) so extra "
+                        "shots genuinely disambiguate — trains with random "
+                        "1..--nshot subsets and reports a shot-benefit "
+                        "curve on the trained checkpoint (VERDICT r4 #2)")
+    p.add_argument("--nshot", type=int, default=1,
+                   help="max shots during training (random 1..n subsets "
+                        "per step, the reference's `train_icl_*_v3.py:"
+                        "1336-1340` contract); use 3 with incontext_nshot")
+    p.add_argument("--shot_curve", default="",
+                   help="comma list of shot counts to eval the TRAINED "
+                        "checkpoint at (e.g. 1,2,3,5); default 1,2,3,5 "
+                        "for --task incontext_nshot, empty otherwise")
+    p.add_argument("--curve_episodes", type=int, default=200,
+                   help="eval episodes per shot-curve point")
+    p.add_argument("--attn_mask_variant", action="store_true",
+                   help="run the whole flow (train + both evals) with the "
+                        "experimental attn-mask conditioning variant — the "
+                        "end-to-end validation the reference never gave it "
+                        "(VERDICT r4 #5)")
+    p.add_argument("--parallel", choices=["none", "dp", "fsdp"],
+                   default="none",
+                   help="shard the TRAINING arm over a multi-device mesh "
+                        "through the real train CLI: dp = replicated "
+                        "params, batch sharded over the 'data' axis (XLA "
+                        "gradient psum — the reference's accelerate-DDP "
+                        "equivalent, `train_icl_*_v3.py:1226-1228` + "
+                        "`scripts/coco_multigpu.sh:18`); fsdp = params + "
+                        "optimizer born-sharded over the same axis "
+                        "(parallel/mesh.py::init_state_fsdp).  Converts "
+                        "the distributed claims from per-step equality to "
+                        "learns-end-to-end (VERDICT r4 #1)")
+    p.add_argument("--devices", type=int, default=2,
+                   help="mesh size for --parallel (virtual CPU devices)")
     p.add_argument("--out", default=os.path.join(
         _REPO, "artifacts", "train_capability.json"))
     p.add_argument("--resume", action="store_true",
@@ -218,9 +253,21 @@ def main(argv=None):
 
     import jax
 
+    if args.parallel != "none":
+        if args.batch_size % args.devices:
+            raise SystemExit(f"--batch_size {args.batch_size} not divisible "
+                             f"by --devices {args.devices}")
+        # must land before backend init; under pytest the conftest already
+        # created 8 virtual devices and the update is a no-op — the count
+        # check below is what matters
+        jax.config.update("jax_num_cpu_devices", args.devices)
+
     if jax.default_backend() != "cpu":
         raise SystemExit("run under JAX_PLATFORMS=cpu or the test conftest "
                          "(tiny-config CPU demonstration; see module doc)")
+    if args.parallel != "none" and jax.device_count() < args.devices:
+        raise SystemExit(f"--parallel {args.parallel} needs {args.devices} "
+                         f"devices, have {jax.device_count()}")
 
     from diffews_tpu.configs import VAEConfig
     from helpers.synthetic_data import make_coco
@@ -252,7 +299,7 @@ def main(argv=None):
                     f"{prev['workdir']!r}, not {args.workdir!r} — its "
                     "baseline is not this run's baseline. Point --out at "
                     "this run's artifact (or remove the stale one).")
-            if prev.get("task") and not prev["task"].startswith(args.task):
+            if prev.get("task") and prev["task"].split()[0] != args.task:
                 raise SystemExit(
                     f"--resume: {args.out} records task {prev['task']!r}, "
                     f"not --task {args.task!r}; refusing to mix baselines.")
@@ -267,8 +314,11 @@ def main(argv=None):
         print(f"[1/5] synthesizing correlated COCO-20i (task={args.task})",
               flush=True)
         make_coco(data_dir,
-                  correlated=("incontext" if args.task == "incontext"
+                  correlated=(args.task if args.task.startswith("incontext")
                               else True),
+                  # the shot-benefit task needs enough images per class for
+                  # 5-shot episodes and a clean/ambiguous mix
+                  imgs_per_class=(6 if args.task == "incontext_nshot" else 3),
                   seed=args.seed)
 
         print("[2/5] pretraining the tiny VAE (frozen-VAE analog)",
@@ -284,7 +334,8 @@ def main(argv=None):
               flush=True)
         miou_random, fb_random = run_eval(
             ck_dir, data_dir, args.img_size, args.episodes,
-            os.path.join(args.workdir, "eval_random"))
+            os.path.join(args.workdir, "eval_random"), nshot=args.nshot,
+            attn_mask_variant=args.attn_mask_variant)
         print(f"[3/5] random-init mIoU {miou_random:.2f} FB-IoU "
               f"{fb_random:.2f}", flush=True)
 
@@ -295,7 +346,7 @@ def main(argv=None):
     train_main([
         "--pretrained_model_name_or_path", ck_dir,
         "--datapath", data_dir,
-        "--benchmark", "coco", "--fold", "0", "--nshot", "1",
+        "--benchmark", "coco", "--fold", "0", "--nshot", str(args.nshot),
         "--resolution", str(args.img_size),
         "--train_batch_size", str(args.batch_size),
         "--gradient_accumulation_steps", "1",
@@ -312,7 +363,11 @@ def main(argv=None):
         "--validation_episodes", str(args.validation_episodes),
         "--validation_image_grids", "2",
         "--dataloader_num_workers", "0",
-    ] + (["--resume_from_checkpoint", "latest"] if args.resume else []))
+    ] + (["--attn_mask_variant"] if args.attn_mask_variant else [])
+      + (["--num_data_shards", str(args.devices)]
+         + (["--fsdp"] if args.parallel == "fsdp" else [])
+         if args.parallel != "none" else [])
+      + (["--resume_from_checkpoint", "latest"] if args.resume else []))
     trained_unet = os.path.join(out_dir, f"checkpoint-{args.steps}", "unet")
     assert os.path.isdir(trained_unet), trained_unet
 
@@ -320,7 +375,25 @@ def main(argv=None):
     miou_trained, fb_trained = run_eval(
         ck_dir, data_dir, args.img_size, args.episodes,
         os.path.join(args.workdir, "eval_trained"),
-        unet_ckpt_path=trained_unet)
+        unet_ckpt_path=trained_unet, nshot=args.nshot,
+        attn_mask_variant=args.attn_mask_variant)
+
+    # shot-benefit curve: the SAME trained checkpoint at increasing shot
+    # counts on held-out episodes (the reference's 1-/5-shot eval protocol,
+    # `scripts/eval_coco2014_rthres_{1,5}shot*.sh`) — monotone-ish mIoU is
+    # the end-to-end validation of the pad+shot_mask fusion gradient path
+    curve_spec = args.shot_curve or (
+        "1,2,3,5" if args.task == "incontext_nshot" else "")
+    shot_curve = {}
+    for k in [int(s) for s in curve_spec.split(",") if s.strip()]:
+        mi_k, fb_k = run_eval(
+            ck_dir, data_dir, args.img_size, args.curve_episodes,
+            os.path.join(args.workdir, f"eval_shots{k}"),
+            unet_ckpt_path=trained_unet, nshot=k,
+            attn_mask_variant=args.attn_mask_variant)
+        shot_curve[str(k)] = {"miou": round(mi_k, 2), "fb_iou": round(fb_k, 2)}
+        print(f"[curve] {k}-shot mIoU {mi_k:.2f} FB-IoU {fb_k:.2f} "
+              f"({args.curve_episodes} eps)", flush=True)
 
     losses = []
     if os.path.exists(metrics_jsonl):
@@ -334,9 +407,15 @@ def main(argv=None):
 
     report = {
         "task": f"{args.task} synthetic COCO-20i fold0, held-out classes, "
-                f"{args.img_size}px, 1-shot, seeded protocol",
+                f"{args.img_size}px, {args.nshot}-shot, seeded protocol",
         "steps": args.steps,
         "lr": args.lr,
+        "parallel": ({"mode": args.parallel, "devices": args.devices}
+                     if args.parallel != "none" else None),
+        "nshot_train": args.nshot,
+        "attn_mask_variant": args.attn_mask_variant,
+        "shot_curve": shot_curve or None,
+        "curve_episodes": args.curve_episodes if shot_curve else None,
         "vae_pretrain": {"steps": args.vae_steps,
                          "recon_mse": (None if vae_recon is None
                                        else round(vae_recon, 5)),
