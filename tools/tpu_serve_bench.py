@@ -108,18 +108,24 @@ def main():
     cid = post("/v1/supports", {"images": [sup], "masks": [msk]})["cache_id"]
     frames = [rng.integers(0, 256, (s, s, 3), np.uint8) for _ in range(4)]
 
+    # Warm EVERY serving program through the CLI's own warm_start (cached +
+    # episode paths at every bucket INCL. full bsz, with the in-graph mask
+    # stage).  The previous ad-hoc loop here skipped the full-bsz cached
+    # program ("the full-batch warmup above covered bsz" — false once
+    # batch_window > 0: the single-query warmup routes through the BATCHED
+    # path and pads to bucket 1), so a 16-client window>0 leg compiled
+    # predict_cached@bsz UNDER the dispatch lock — measured 1.4-1.7 q/s
+    # with Δdevice_s ≈ 46 s (the compile) vs 18.1 q/s for the same clients
+    # at window=0 in the same process.  This was the round-4 "6.90 vs
+    # 16.9 identical-code drift": whichever run had the b8 cached program
+    # already warm read 2.4x the one that compiled it mid-leg.
+    t0 = time.perf_counter()
+    ms.warm_start()
+    print(f"warm_start (all buckets, both paths): "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     post("/v1/segment", {"query": png(frames[0]), "cache_id": cid})
-    print(f"warmup (compile): {time.perf_counter() - t0:.1f}s", flush=True)
-    for bucket in ms.buckets[:-1]:
-        # warm every bucket program upfront so the sweep measures steady
-        # state, not first-use compiles (the window=0 single-query path
-        # pads to bucket 1; the full-batch warmup above covered bsz)
-        t0 = time.perf_counter()
-        ms._segment_cached(
-            np.stack([frames[0]] * bucket), cid, 0.25, 0.0, need_seg=False)
-        print(f"bucket {bucket} warm: {time.perf_counter() - t0:.1f}s",
-              flush=True)
+    print(f"http warmup: {time.perf_counter() - t0:.1f}s", flush=True)
 
     def sweep(mode):
         # mode "png": b64-PNG queries + PNG response; "raw": raw tensor
